@@ -1,0 +1,163 @@
+"""SS2D — the 2-D selective-scan (visual Mamba) token mixer.
+
+TPU-native rebuild of the reference SS2D
+(``/root/reference/code/networks/mamba_sys.py:267-540``):
+
+  in_proj D -> 2*d_inner, split (x, z)
+  depthwise 3x3 conv + SiLU on x
+  4-direction cross-scan -> shared per-direction projections -> ONE batched
+    selective scan with the 4 directions folded into the channel axis
+    (the reference's K-fold trick, mamba_sys.py:411-426 — also the right TPU
+    layout: one big (B, 4*d_inner) lane dimension)
+  cross-merge (sum of un-permuted outputs) -> LayerNorm -> * silu(z) -> out_proj
+
+The scan itself always runs in float32 (reference forces .float() at
+mamba_sys.py:411-418); everything else follows ``dtype``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mamba_unet_tpu.nn.layers import trunc_normal_init, uniform_scaled_init
+from mamba_unet_tpu.ops import cross_merge, cross_scan, selective_scan
+
+
+def _dt_bias_init(dt_min: float, dt_max: float, dt_init_floor: float):
+    """Softplus-inverse of a log-uniform sample in [dt_min, dt_max].
+
+    Mirrors SS2D.dt_init (mamba_sys.py:353-361): softplus(bias) ~ LogUniform.
+    """
+
+    def init(key, shape, dtype=jnp.float32):
+        u = jax.random.uniform(key, shape, jnp.float32)
+        dt = jnp.exp(u * (math.log(dt_max) - math.log(dt_min)) + math.log(dt_min))
+        dt = jnp.maximum(dt, dt_init_floor)
+        # inverse softplus: x = dt + log(1 - exp(-dt))
+        inv = dt + jnp.log(-jnp.expm1(-dt))
+        return inv.astype(dtype)
+
+    return init
+
+
+def _a_log_init(n_rows: int, d_state: int):
+    """S4D-real init: A_log[d, n] = log(n+1), A = -exp(A_log) (mamba_sys.py:367-382)."""
+
+    def init(key, shape, dtype=jnp.float32):
+        del key
+        assert shape == (n_rows, d_state)
+        a = jnp.tile(jnp.log(jnp.arange(1, d_state + 1, dtype=jnp.float32)), (n_rows, 1))
+        return a.astype(dtype)
+
+    return init
+
+
+class SS2D(nn.Module):
+    d_model: int
+    d_state: int = 16
+    d_conv: int = 3
+    expand: int = 2
+    dt_rank: Optional[int] = None  # default ceil(d_model / 16)
+    dt_min: float = 0.001
+    dt_max: float = 0.1
+    dt_scale: float = 1.0
+    dt_init_floor: float = 1e-4
+    dropout: float = 0.0
+    conv_bias: bool = True
+    bias: bool = False
+    scan_impl: str = "auto"
+    scan_chunk: int = 256
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """x: (B, H, W, d_model) -> same shape."""
+        d_inner = self.expand * self.d_model
+        dt_rank = self.dt_rank or math.ceil(self.d_model / 16)
+        n = self.d_state
+        K = 4
+
+        xz = nn.Dense(
+            2 * d_inner,
+            use_bias=self.bias,
+            kernel_init=trunc_normal_init(),
+            dtype=self.dtype,
+            name="in_proj",
+        )(x)
+        xx, z = jnp.split(xz, 2, axis=-1)
+
+        xx = nn.Conv(
+            d_inner,
+            kernel_size=(self.d_conv, self.d_conv),
+            feature_group_count=d_inner,
+            use_bias=self.conv_bias,
+            padding="SAME",
+            dtype=self.dtype,
+            name="conv2d",
+        )(xx)
+        xx = nn.silu(xx)
+
+        # --- the 4-direction scan core (forward_corev0, mamba_sys.py:396-436) ---
+        bsz, H, W, _ = xx.shape
+        L = H * W
+        # Per-direction input projections share one stacked weight.
+        x_proj_weight = self.param(
+            "x_proj_weight",
+            uniform_scaled_init(1.0 / math.sqrt(d_inner)),
+            (K, dt_rank + 2 * n, d_inner),
+        )
+        dt_projs_weight = self.param(
+            "dt_projs_weight",
+            uniform_scaled_init(dt_rank**-0.5 * self.dt_scale),
+            (K, d_inner, dt_rank),
+        )
+        dt_projs_bias = self.param(
+            "dt_projs_bias",
+            _dt_bias_init(self.dt_min, self.dt_max, self.dt_init_floor),
+            (K, d_inner),
+        )
+        A_logs = self.param("A_logs", _a_log_init(K * d_inner, n), (K * d_inner, n))
+        Ds = self.param("Ds", nn.initializers.ones, (K * d_inner,))
+
+        xs = cross_scan(xx)  # (B, K, d_inner, L)
+        x_dbl = jnp.einsum("bkdl,kcd->bkcl", xs, x_proj_weight.astype(xs.dtype))
+        dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + n], axis=2)
+        dts = jnp.einsum("bkrl,kdr->bkdl", dts, dt_projs_weight.astype(dts.dtype))
+
+        u = xs.reshape(bsz, K * d_inner, L)
+        delta = dts.reshape(bsz, K * d_inner, L)
+        A = -jnp.exp(A_logs.astype(jnp.float32))  # (K*d_inner, n)
+
+        out = selective_scan(
+            u,
+            delta,
+            A,
+            Bs,  # (B, K, n, L): K plays the group axis G
+            Cs,
+            D=Ds.astype(jnp.float32),
+            z=None,
+            delta_bias=dt_projs_bias.reshape(-1).astype(jnp.float32),
+            delta_softplus=True,
+            chunk=self.scan_chunk,
+            implementation=self.scan_impl,
+        )  # (B, K*d_inner, L) — selective_scan promotes to fp32 internally
+        ys = out.reshape(bsz, K, d_inner, L)
+        y = cross_merge(ys, H, W)  # (B, H, W, d_inner)
+        y = nn.LayerNorm(dtype=self.dtype, name="out_norm")(y.astype(self.dtype))
+
+        y = y * nn.silu(z)
+        out = nn.Dense(
+            self.d_model,
+            use_bias=self.bias,
+            kernel_init=trunc_normal_init(),
+            dtype=self.dtype,
+            name="out_proj",
+        )(y)
+        if self.dropout > 0.0:
+            out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
+        return out
