@@ -1,0 +1,164 @@
+"""Segmentation + SSL losses, channels-last (class axis = -1).
+
+Faithful rebuilds of ``/root/reference/code/utils/losses.py`` semantics:
+soft Dice with SQUARED-sum denominators and smooth 1e-5 (losses.py:345-353),
+per-class mean including background; CE+Dice supervised combo = 0.5*(CE+Dice)
+(train_fully_supervised_2D.py:111-113); consistency and contrastive helpers.
+
+All functions take logits/probs shaped (B, ..., C) and integer labels shaped
+(B, ...). Reductions are global means, matching the reference exactly.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+
+_SMOOTH = 1e-5
+
+
+def _soft_dice(score: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """1 - (2·Σst + eps) / (Σs² + Σt² + eps), global sums (losses.py:345-353)."""
+    target = target.astype(jnp.float32)
+    score = score.astype(jnp.float32)
+    intersect = jnp.sum(score * target)
+    denom = jnp.sum(score * score) + jnp.sum(target * target)
+    return 1.0 - (2.0 * intersect + _SMOOTH) / (denom + _SMOOTH)
+
+
+def dice_loss(
+    probs: jnp.ndarray,
+    target_onehot: jnp.ndarray,
+    weight: Optional[Sequence[float]] = None,
+) -> jnp.ndarray:
+    """Per-class soft dice (incl. background), weighted mean over classes.
+
+    probs, target_onehot: (B, ..., C) — probs should already be softmaxed.
+    """
+    n_classes = probs.shape[-1]
+    per_class = jnp.stack(
+        [_soft_dice(probs[..., i], target_onehot[..., i]) for i in range(n_classes)]
+    )
+    if weight is not None:
+        per_class = per_class * jnp.asarray(weight, jnp.float32)
+    return jnp.sum(per_class) / n_classes
+
+
+def dice_loss_from_labels(
+    probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    weight: Optional[Sequence[float]] = None,
+) -> jnp.ndarray:
+    """DiceLoss.forward with integer labels (one-hot encoded internally)."""
+    onehot = jax.nn.one_hot(labels, probs.shape[-1], dtype=jnp.float32)
+    return dice_loss(probs, onehot, weight)
+
+
+def dice_loss_pair(score: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
+    """Binary/soft dice on raw tensors, LINEAR denominator (dice_loss1,
+    losses.py:195-203) — used for soft pseudo-label dice."""
+    target = target.astype(jnp.float32)
+    score = score.astype(jnp.float32)
+    intersect = jnp.sum(score * target)
+    denom = jnp.sum(score) + jnp.sum(target)
+    return 1.0 - (2.0 * intersect + _SMOOTH) / (denom + _SMOOTH)
+
+
+def softmax_dice_loss(input_logits: jnp.ndarray, target_logits: jnp.ndarray):
+    """Per-class dice_loss1 between softmaxes, mean over classes (losses.py)."""
+    p = jax.nn.softmax(input_logits, axis=-1)
+    q = jax.nn.softmax(target_logits, axis=-1)
+    n = p.shape[-1]
+    return sum(dice_loss_pair(p[..., i], q[..., i]) for i in range(n)) / n
+
+
+def cross_entropy_loss(
+    logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: Optional[int] = None
+) -> jnp.ndarray:
+    """Mean softmax cross-entropy vs integer labels (torch CrossEntropyLoss)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    # Clip so an ignore_index outside [0, C) gathers a valid (masked-out) slot
+    # instead of the NaN fill value.
+    idx = jnp.clip(labels, 0, logits.shape[-1] - 1)[..., None].astype(jnp.int32)
+    nll = -jnp.take_along_axis(logp, idx, axis=-1)
+    nll = nll[..., 0]
+    if ignore_index is not None:
+        mask = (labels != ignore_index).astype(jnp.float32)
+        return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+    return jnp.mean(nll)
+
+
+def supervised_ce_dice(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """0.5*(CE + Dice) — THE supervised objective of every 2-D script
+    (train_fully_supervised_2D.py:111-113)."""
+    ce = cross_entropy_loss(logits, labels)
+    dice = dice_loss_from_labels(jax.nn.softmax(logits, axis=-1), labels)
+    return 0.5 * (ce + dice)
+
+
+def softmax_mse_loss(input_logits: jnp.ndarray, target_logits: jnp.ndarray):
+    """Elementwise (softmax(in) - softmax(tgt))² — NOT reduced (losses.py:241-258);
+    callers take the mean. Gradients flow to inputs only if the caller
+    stop-gradients the target."""
+    p = jax.nn.softmax(input_logits, axis=-1)
+    q = jax.nn.softmax(target_logits, axis=-1)
+    return (p - q) ** 2
+
+
+def softmax_kl_loss(input_logits: jnp.ndarray, target_logits: jnp.ndarray):
+    """KL(softmax(tgt) || softmax(in)) with torch 'mean' reduction — i.e. the
+    elementwise KL integrand averaged over ALL elements incl. the class axis
+    (losses.py:261-280)."""
+    logp = jax.nn.log_softmax(input_logits, axis=-1)
+    q = jax.nn.softmax(target_logits, axis=-1)
+    kl = q * (jnp.log(jnp.clip(q, 1e-30)) - logp)
+    return jnp.mean(kl)
+
+
+def symmetric_mse_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean((a - b) ** 2)
+
+
+def entropy_loss(p: jnp.ndarray, num_classes: Optional[int] = None) -> jnp.ndarray:
+    """Mean normalized entropy of prob maps (losses.py:206-212)."""
+    c = num_classes or p.shape[-1]
+    ent = -jnp.sum(p * jnp.log(p + 1e-6), axis=-1) / jnp.log(c)
+    return jnp.mean(ent)
+
+
+def entropy_loss_map(p: jnp.ndarray, num_classes: Optional[int] = None):
+    """Per-pixel normalized entropy map, keepdims (losses.py:231-238)."""
+    c = num_classes or p.shape[-1]
+    return -jnp.sum(p * jnp.log(p + 1e-6), axis=-1, keepdims=True) / jnp.log(c)
+
+
+def constra_loss(inputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Semi-Mamba-UNet pixel-contrastive term (losses.py:169-181): global-avg
+    pool each model's logits to a per-sample channel vector, L2-normalize,
+    MSE. inputs/targets: (B, H, W, C)."""
+    a = jnp.mean(inputs.astype(jnp.float32), axis=(1, 2))  # (B, C)
+    b = jnp.mean(targets.astype(jnp.float32), axis=(1, 2))
+    a = a / jnp.maximum(jnp.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+    b = b / jnp.maximum(jnp.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+    return jnp.mean((a - b) ** 2)
+
+
+def focal_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    gamma: float = 2.0,
+    alpha: Optional[Sequence[float]] = None,
+) -> jnp.ndarray:
+    """Multiclass focal loss (losses.py:295-329): mean of -(1-p_t)^γ log p_t."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logpt = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[
+        ..., 0
+    ]
+    pt = jnp.exp(logpt)
+    loss = -((1.0 - pt) ** gamma) * logpt
+    if alpha is not None:
+        at = jnp.asarray(alpha, jnp.float32)[labels]
+        loss = loss * at
+    return jnp.mean(loss)
