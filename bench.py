@@ -1,0 +1,83 @@
+"""Benchmark: Mamba-UNet training throughput (slices/sec/chip) on real TPU.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline derivation (BASELINE.md): the reference full Mamba-UNet run is
+~5 h for 10k iterations at bs24 on an RTX 3090 (MambaUNet.pdf §experiments)
+=> ~13.3 slices/sec as the reference-hardware training throughput anchor.
+vs_baseline = measured / 13.3.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+BASELINE_SLICES_PER_SEC = 10_000 * 24 / (5 * 3600)  # ≈ 13.33
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mamba_unet_tpu.models import MambaUnet
+    from mamba_unet_tpu.train import TrainConfig, Trainer
+
+    batch_size = 24
+    patch = 224
+    cfg = TrainConfig(
+        base_lr=0.01,
+        max_iterations=10_000,
+        batch_size=batch_size,
+        patch_size=(patch, patch),
+        num_classes=4,
+        seed=1337,
+        log_every=10_000,
+        eval_every=10_000,
+    )
+    # use_remat: per-block rematerialization keeps the fp32 scan intermediates
+    # out of the saved-activation set (bs24@224² would OOM 16G HBM otherwise).
+    model = MambaUnet(
+        num_classes=4, drop_path_rate=0.2, dtype=jnp.bfloat16, use_remat=True
+    )
+    trainer = Trainer(model, cfg)
+
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jax.device_put(
+            rng.normal(size=(batch_size, patch, patch, 1)).astype(np.float32),
+            trainer._bsh,
+        ),
+        "label": jax.device_put(
+            rng.integers(0, 4, size=(batch_size, patch, patch)), trainer._bsh
+        ),
+    }
+
+    # compile + warmup
+    state, logs = trainer._step(trainer.state, batch)
+    jax.block_until_ready(state.params)
+    trainer.state = state
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        trainer.state, logs = trainer._step(trainer.state, batch)
+    jax.block_until_ready(trainer.state.params)
+    dt = time.perf_counter() - t0
+
+    slices_per_sec = n_steps * batch_size / dt
+    print(
+        json.dumps(
+            {
+                "metric": "mamba_unet_train_slices_per_sec",
+                "value": round(slices_per_sec, 2),
+                "unit": "slices/sec/chip (bs24@224², bf16 compute, fp32 scan state)",
+                "vs_baseline": round(slices_per_sec / BASELINE_SLICES_PER_SEC, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

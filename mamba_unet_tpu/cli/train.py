@@ -1,0 +1,136 @@
+"""Training CLI — the single entry point replacing the reference's 18
+``train_*.py`` scripts (SURVEY §2.11); the method flag selects the experiment
+type. Defaults mirror ``train_fully_supervised_2D.py`` argparse.
+
+Examples:
+    python -m mamba_unet_tpu.cli.train --model unet --root_path ../data/ACDC
+    python -m mamba_unet_tpu.cli.train --model ViM_seg --patch_size 224 224
+    python -m mamba_unet_tpu.cli.train --model unet --synthetic --max_iterations 30
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import sys
+import tempfile
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native Mamba-UNet training")
+    p.add_argument("--root_path", type=str, default="../data/ACDC")
+    p.add_argument("--exp", type=str, default="ACDC/Fully_Supervised")
+    p.add_argument("--model", type=str, default="unet")
+    p.add_argument("--method", type=str, default="fully_supervised",
+                   choices=["fully_supervised", "mean_teacher", "uamt",
+                            "cross_teaching"])
+    p.add_argument("--max_iterations", type=int, default=10000)
+    p.add_argument("--batch_size", type=int, default=24)
+    p.add_argument("--labeled_bs", type=int, default=8,
+                   help="labeled half of each batch (semi-supervised methods)")
+    p.add_argument("--labeled_num", type=int, default=140,
+                   help="labeled patients (patients_to_slices table)")
+    p.add_argument("--base_lr", type=float, default=0.01)
+    p.add_argument("--patch_size", type=int, nargs=2, default=[256, 256])
+    p.add_argument("--num_classes", type=int, default=4)
+    p.add_argument("--seed", type=int, default=1337)
+    p.add_argument("--eval_every", type=int, default=200)
+    p.add_argument("--consistency", type=float, default=0.1)
+    p.add_argument("--consistency_rampup", type=float, default=200.0)
+    p.add_argument("--snapshot_dir", type=str, default=None)
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
+    p.add_argument("--synthetic", action="store_true",
+                   help="generate+use a synthetic ACDC-format dataset (smoke/bench)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(message)s",
+        datefmt="%H:%M:%S",
+        stream=sys.stdout,
+    )
+
+    import jax.numpy as jnp
+
+    from mamba_unet_tpu.data import (
+        EpochShuffleSampler,
+        Loader,
+        RandomGenerator,
+        SliceDataset,
+        TwoStreamBatchSampler,
+        VolumeDataset,
+        make_synthetic_acdc,
+        patients_to_slices,
+    )
+    from mamba_unet_tpu.models import net_factory
+    from mamba_unet_tpu.train import TrainConfig, Trainer
+
+    root = args.root_path
+    if args.synthetic:
+        root = os.path.join(tempfile.gettempdir(), "synthetic_acdc")
+        if not os.path.isfile(os.path.join(root, "train_slices.list")):
+            make_synthetic_acdc(
+                root,
+                n_train_cases=8,
+                slices_per_case=8,
+                n_val_cases=2,
+                size=args.patch_size[0],
+            )
+
+    kwargs = {"num_classes": args.num_classes}
+    if args.bf16:
+        kwargs["dtype"] = jnp.bfloat16
+    model = net_factory(args.model, **kwargs)
+
+    cfg = TrainConfig(
+        base_lr=args.base_lr,
+        max_iterations=args.max_iterations,
+        batch_size=args.batch_size,
+        patch_size=tuple(args.patch_size),
+        num_classes=args.num_classes,
+        eval_every=args.eval_every,
+        seed=args.seed,
+        snapshot_dir=args.snapshot_dir,
+    )
+
+    train_ds = SliceDataset(
+        root, transform=RandomGenerator(cfg.patch_size, seed=args.seed)
+    )
+    val_ds = VolumeDataset(root, "val")
+
+    if args.method == "fully_supervised":
+        sampler = EpochShuffleSampler(len(train_ds), cfg.batch_size, seed=args.seed)
+        trainer = Trainer(model, cfg)
+    else:
+        from mamba_unet_tpu.train.methods import build_semi_method
+
+        n_labeled = (
+            patients_to_slices("ACDC", args.labeled_num)
+            if not args.synthetic
+            else max(2, len(train_ds) // 4)
+        )
+        n_labeled = min(n_labeled, len(train_ds) - 1)
+        sampler = TwoStreamBatchSampler(
+            range(n_labeled),
+            range(n_labeled, len(train_ds)),
+            cfg.batch_size,
+            cfg.batch_size - args.labeled_bs,
+            seed=args.seed,
+        )
+        trainer = build_semi_method(args, model, cfg)
+
+    loader = Loader(train_ds, sampler)
+    result = trainer.fit(loader, val_ds)
+    logging.info(
+        "done: %d iterations, best val dice %.4f",
+        result["iterations"], result["best_dice"],
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

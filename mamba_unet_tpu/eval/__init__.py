@@ -1,0 +1,26 @@
+"""Evaluation: binary segmentation metrics + volume inference drivers."""
+
+from mamba_unet_tpu.eval.metrics import (
+    dice_binary,
+    hd95,
+    asd,
+    assd,
+    nsd,
+    surface_distances,
+    calculate_metric_percase,
+    calculate_metric_percase_full,
+)
+from mamba_unet_tpu.eval.inference import test_single_volume, sliding_window_inference_3d
+
+__all__ = [
+    "dice_binary",
+    "hd95",
+    "asd",
+    "assd",
+    "nsd",
+    "surface_distances",
+    "calculate_metric_percase",
+    "calculate_metric_percase_full",
+    "test_single_volume",
+    "sliding_window_inference_3d",
+]

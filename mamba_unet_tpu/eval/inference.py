@@ -1,0 +1,125 @@
+"""Volume inference drivers.
+
+``test_single_volume`` keeps the reference's exact resize semantics
+(``/root/reference/code/val_2D.py:31-52``: per-slice order-0 zoom to patch
+size, forward, argmax, order-0 zoom back, metrics at native resolution) but is
+TPU-shaped: all Z slices are batched into ONE device call instead of the
+reference's bs=1 per-slice loop (a pure win — no semantic change, the model is
+applied per-slice either way).
+
+``sliding_window_inference_3d`` is the 3-D tiled predictor
+(``code/utils/test_util.py:89-152``): pad to patch, stride-``sw`` xyz grid,
+softmax accumulation with a visit-count normalizer, crop back.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+from scipy.ndimage import zoom as nd_zoom
+
+from mamba_unet_tpu.eval.metrics import calculate_metric_percase
+
+
+def test_single_volume(
+    image: np.ndarray,
+    label: np.ndarray,
+    predict_fn: Callable[[np.ndarray], np.ndarray],
+    classes: int,
+    patch_size: Sequence[int] = (256, 256),
+    batch_size: Optional[int] = None,
+) -> List[Tuple[float, float]]:
+    """Evaluate one volume.
+
+    image, label: (Z, H, W) numpy. predict_fn: (B, ps, ps, 1) float32 ->
+    (B, ps, ps, C) logits (a jitted model apply). Returns per-class
+    [(dice, hd95)] for classes 1..classes-1.
+    """
+    image = np.asarray(image)
+    label = np.asarray(label)
+    z, x, y = image.shape
+    ps = tuple(patch_size)
+
+    # Host resize (order-0 NN, identical to the reference), then one batch.
+    if (x, y) != ps:
+        slices = np.stack(
+            [nd_zoom(image[i], (ps[0] / x, ps[1] / y), order=0) for i in range(z)]
+        )
+    else:
+        slices = image
+    inp = slices.astype(np.float32)[..., None]  # (Z, ps, ps, 1)
+
+    bs = batch_size or z
+    preds = []
+    for s in range(0, z, bs):
+        chunk = inp[s : s + bs]
+        pad = bs - chunk.shape[0]
+        if pad:  # keep a single compiled shape for the tail batch
+            chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), np.float32)])
+        logits = np.asarray(predict_fn(chunk))
+        if pad:
+            logits = logits[: bs - pad]
+        preds.append(np.argmax(logits, axis=-1))
+    out = np.concatenate(preds, axis=0)  # (Z, ps, ps)
+
+    if (x, y) != ps:
+        prediction = np.stack(
+            [nd_zoom(out[i], (x / ps[0], y / ps[1]), order=0) for i in range(z)]
+        )
+    else:
+        prediction = out
+
+    return [
+        calculate_metric_percase(prediction == i, label == i)
+        for i in range(1, classes)
+    ]
+
+
+def sliding_window_inference_3d(
+    image: np.ndarray,
+    predict_fn: Callable[[np.ndarray], np.ndarray],
+    num_classes: int,
+    patch_size: Sequence[int] = (96, 96, 96),
+    stride: Sequence[int] = (16, 16, 16),
+) -> np.ndarray:
+    """Tiled 3-D inference with score accumulation (test_util.py:89-152).
+
+    image: (D, H, W); predict_fn: (1, pd, ph, pw, 1) -> (1, pd, ph, pw, C)
+    logits. Returns the argmax label volume (D, H, W).
+    """
+    image = np.asarray(image, np.float32)
+    pd, ph, pw = patch_size
+    d, h, w = image.shape
+    pads = [max(0, p - s) for p, s in zip(patch_size, image.shape)]
+    pad_width = [(pz // 2, pz - pz // 2) for pz in pads]
+    padded = np.pad(image, pad_width, mode="constant") if any(pads) else image
+    dd, hh, ww = padded.shape
+
+    sx = math.ceil((dd - pd) / stride[0]) + 1 if dd > pd else 1
+    sy = math.ceil((hh - ph) / stride[1]) + 1 if hh > ph else 1
+    sz = math.ceil((ww - pw) / stride[2]) + 1 if ww > pw else 1
+
+    score = np.zeros((num_classes, dd, hh, ww), np.float32)
+    cnt = np.zeros((dd, hh, ww), np.float32)
+    for ix in range(sx):
+        xs = min(ix * stride[0], dd - pd)
+        for iy in range(sy):
+            ys = min(iy * stride[1], hh - ph)
+            for iz in range(sz):
+                zs = min(iz * stride[2], ww - pw)
+                patch = padded[xs : xs + pd, ys : ys + ph, zs : zs + pw]
+                logits = np.asarray(predict_fn(patch[None, ..., None]))[0]
+                e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+                prob = e / e.sum(axis=-1, keepdims=True)  # (pd,ph,pw,C)
+                score[:, xs : xs + pd, ys : ys + ph, zs : zs + pw] += prob.transpose(
+                    3, 0, 1, 2
+                )
+                cnt[xs : xs + pd, ys : ys + ph, zs : zs + pw] += 1
+    score /= np.maximum(cnt, 1)[None]
+    pred = np.argmax(score, axis=0)
+    if any(pads):
+        (d0, _), (h0, _), (w0, _) = pad_width
+        pred = pred[d0 : d0 + d, h0 : h0 + h, w0 : w0 + w]
+    return pred

@@ -1,0 +1,15 @@
+"""Mesh construction and sharding helpers.
+
+The reference has no parallelism above one GPU (SURVEY §2.9); here the trainer
+is mesh-native from the start: params replicated (or model-sharded), batches
+split over the ``data`` axis, XLA inserting the grad all-reduce over ICI.
+"""
+
+from mamba_unet_tpu.parallel.mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]

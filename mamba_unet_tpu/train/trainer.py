@@ -1,0 +1,205 @@
+"""The generic Trainer: one jitted, mesh-sharded train step + the reference's
+train/eval/checkpoint protocol.
+
+Replaces the reference's 18 copy-pasted per-method ``train()`` loops (SURVEY
+§2.11) with one driver parameterized by a *method* — a function building the
+loss from (model, variables, batch, rng, step). The default method is the
+fully-supervised 0.5*(CE+Dice) of ``train_fully_supervised_2D.py:111-113``.
+
+Protocol faithfully kept (train_fully_supervised_2D.py:118-180):
+  * poly LR per iteration (in the optax chain),
+  * eval every ``eval_every`` iterations on the val volumes (order-0 zoom
+    slice inference), tracking mean Dice over classes 1..C-1,
+  * best-Dice checkpoint + periodic checkpoint every ``ckpt_every``.
+
+TPU-native: batch sharded over the mesh ``data`` axis, params replicated,
+state donated, models applied with bf16 compute if built so.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamba_unet_tpu.eval import test_single_volume
+from mamba_unet_tpu.objectives import supervised_ce_dice
+from mamba_unet_tpu.parallel import batch_sharding, make_mesh, replicated
+from mamba_unet_tpu.train.optim import poly_lr, poly_sgd
+from mamba_unet_tpu.train.state import TrainState, create_train_state
+from mamba_unet_tpu.utils import save_checkpoint
+
+log = logging.getLogger("mamba_unet_tpu")
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    base_lr: float = 0.01
+    max_iterations: int = 10_000
+    batch_size: int = 24
+    patch_size: Tuple[int, int] = (256, 256)
+    num_classes: int = 4
+    eval_every: int = 200
+    ckpt_every: int = 3000
+    eval_batch_size: int = 16
+    seed: int = 1337
+    snapshot_dir: Optional[str] = None
+    log_every: int = 50
+
+
+def fully_supervised_loss(model, variables, batch, rng, step):
+    """0.5*(CE + Dice) on the whole batch; handles multi-head models by
+    training on the main head."""
+    mutable = ["batch_stats"] if "batch_stats" in variables else []
+    out = model.apply(
+        variables,
+        batch["image"],
+        deterministic=False,
+        rngs={"dropout": rng},
+        mutable=mutable,
+    )
+    if mutable:
+        logits, updates = out
+        new_bs = updates["batch_stats"]
+    else:
+        logits, new_bs = out, None
+    if isinstance(logits, (tuple, list)):
+        logits = logits[0]
+    loss = supervised_ce_dice(logits, batch["label"])
+    return loss, {"batch_stats": new_bs, "logs": {"loss_total": loss}}
+
+
+class Trainer:
+    def __init__(
+        self,
+        model,
+        config: TrainConfig,
+        method: Callable = fully_supervised_loss,
+        mesh=None,
+        tx=None,
+    ):
+        self.model = model
+        self.config = config
+        self.method = method
+        self.mesh = mesh if mesh is not None else make_mesh()
+        self.tx = tx if tx is not None else poly_sgd(
+            config.base_lr, config.max_iterations
+        )
+        self._predict = None
+        self.state: Optional[TrainState] = None
+
+        cfg = self.config
+        sample = jnp.zeros(
+            (cfg.batch_size, *cfg.patch_size, 1), jnp.float32
+        )
+        self.state = create_train_state(
+            model, jax.random.key(cfg.seed), sample, self.tx
+        )
+        # Replicate state over the mesh; shard incoming batches on "data".
+        rep = replicated(self.mesh)
+        self.state = jax.device_put(self.state, rep)
+        self._bsh = batch_sharding(self.mesh)
+
+        self._step = jax.jit(self._train_step, donate_argnums=(0,))
+
+    # --- jitted step ---------------------------------------------------
+    def _train_step(self, state: TrainState, batch) -> Tuple[TrainState, Dict]:
+        rng = jax.random.fold_in(jax.random.key(self.config.seed), state.step)
+
+        def loss_fn(params):
+            loss, aux = self.method(
+                self.model, state.variables(params), batch, rng, state.step
+            )
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        state = state.apply_gradients(grads, aux.get("batch_stats"))
+        logs = dict(aux.get("logs", {}))
+        logs["lr"] = poly_lr(self.config.base_lr, self.config.max_iterations)(
+            state.step
+        )
+        return state, logs
+
+    # --- eval ----------------------------------------------------------
+    def predict_fn(self):
+        """Jitted (B, ps, ps, 1) -> logits fn for slice inference."""
+        if self._predict is None:
+            variables_treedef = None
+
+            @jax.jit
+            def fwd(params, batch_stats, x):
+                v = {"params": params}
+                if batch_stats:
+                    v["batch_stats"] = batch_stats
+                out = self.model.apply(v, x)
+                return out[0] if isinstance(out, (tuple, list)) else out
+
+            self._predict = fwd
+        state = self.state
+        return lambda x: self._predict(state.params, state.batch_stats, x)
+
+    def evaluate(self, val_dataset) -> float:
+        """Mean Dice over val volumes x foreground classes (val_2D protocol)."""
+        cfg = self.config
+        pf = self.predict_fn()
+        metrics = []
+        for i in range(len(val_dataset)):
+            v = val_dataset[i]
+            m = test_single_volume(
+                v["image"], v["label"], pf, cfg.num_classes,
+                patch_size=cfg.patch_size, batch_size=cfg.eval_batch_size,
+            )
+            metrics.append(m)
+        arr = np.asarray(metrics)  # (cases, classes-1, 2)
+        return float(arr[:, :, 0].mean())
+
+    # --- the loop ------------------------------------------------------
+    def fit(self, train_loader, val_dataset=None) -> Dict[str, Any]:
+        cfg = self.config
+        best_dice = 0.0
+        history = []
+        it = 0
+        t0 = time.time()
+        for batch in train_loader:
+            if it >= cfg.max_iterations:
+                break
+            batch = {
+                "image": jax.device_put(batch["image"], self._bsh),
+                "label": jax.device_put(batch["label"], self._bsh),
+            }
+            self.state, logs = self._step(self.state, batch)
+            it += 1
+            if it % cfg.log_every == 0 or it == 1:
+                loss = float(logs["loss_total"])
+                lr = float(logs["lr"]) if "lr" in logs else float("nan")
+                log.info(
+                    "iter %d loss %.4f lr %.5f (%.1f it/s)",
+                    it, loss, lr, it / (time.time() - t0),
+                )
+                history.append({"iter": it, "loss": loss})
+            if val_dataset is not None and it % cfg.eval_every == 0:
+                dice = self.evaluate(val_dataset)
+                log.info("iter %d val mean dice %.4f (best %.4f)", it, dice, best_dice)
+                history.append({"iter": it, "val_dice": dice})
+                if dice > best_dice:
+                    best_dice = dice
+                    if cfg.snapshot_dir:
+                        save_checkpoint(
+                            cfg.snapshot_dir, it,
+                            {"params": self.state.params,
+                             "batch_stats": self.state.batch_stats},
+                            name="best",
+                        )
+            if cfg.snapshot_dir and it % cfg.ckpt_every == 0:
+                save_checkpoint(
+                    cfg.snapshot_dir, it,
+                    {"params": self.state.params,
+                     "batch_stats": self.state.batch_stats},
+                )
+        return {"best_dice": best_dice, "iterations": it, "history": history}

@@ -1,0 +1,5 @@
+"""Utilities: checkpointing, logging, config."""
+
+from mamba_unet_tpu.utils.checkpoint import save_checkpoint, restore_checkpoint, latest_step
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
