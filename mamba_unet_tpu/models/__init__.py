@@ -3,6 +3,7 @@
 from mamba_unet_tpu.models.registry import net_factory, register_model, list_models
 from mamba_unet_tpu.models.vssm import VSSM, MambaUnet
 from mamba_unet_tpu.models.unet import UNet, UNetDS, UNetURPC, UNetCCT, TLUNet
+from mamba_unet_tpu.models.swin_unet import SwinUnet, SwinUnetSys
 
 __all__ = [
     "VSSM",
