@@ -1,24 +1,417 @@
-"""Pallas TPU kernel for the selective scan (placeholder dispatch hooks).
+"""Pallas TPU kernel for the selective scan (S6 recurrence).
 
-The fused kernel (chunked carried-prefix scan in VMEM, custom VJP with
-recompute + reverse scan, mirroring the design of
-``/root/reference/mamba/csrc/selective_scan/selective_scan_fwd_kernel.cuh``)
-is implemented incrementally; until it lands, ``supported`` returns False and
-the public ``ops.selective_scan`` uses the chunked XLA path.
+This is the TPU replacement for the reference CUDA kernels
+(``/root/reference/mamba/csrc/selective_scan/selective_scan_fwd_kernel.cuh``,
+``selective_scan_bwd_kernel.cuh``). Same math, TPU-shaped:
+
+    delta = softplus(delta + delta_bias)
+    x_t   = exp(delta_t*A) x_{t-1} + delta_t B_t u_t      (fp32 state)
+    y_t   = <C_t, x_t> + D u_t
+
+Layout: time-major ``(B, G, L, dg)`` so each sequential step reads one
+sublane row; the hidden state ``(N, dg)`` keeps channels on lanes. The grid
+is ``(B, G, dg-tiles, L-chunks)`` with the L-chunk axis innermost — the TPU
+executes grid cells in order, so the fp32 state lives in a VMEM scratch
+carried across chunk cells exactly like the CUDA kernel's smem running
+prefix (fwd_kernel.cuh:236-253). Per chunk the input-dependent gates
+``a = exp(delta*A)`` and ``b = delta*B*u`` are computed VECTORIZED into
+scratch, the recurrence itself is a minimal fori_loop of one FMA per step,
+and the output contraction ``y = sum_n C x`` is vectorized again.
+
+The backward (custom VJP) follows ``selective_scan_bwd_kernel.cuh``:
+the forward additionally saves each chunk's ENTRY state; the backward walks
+chunks in reverse, recomputes the within-chunk forward from the entry state,
+runs the reverse scan  e_t = C_t g_t + a_{t+1} e_{t+1}  with the carry
+``a_0 e_0`` handed to the previous chunk through scratch, and reduces all
+eight gradients in vectorized epilogue phases.
+
+The z-gate and the -exp(A_log) reparameterization stay OUTSIDE the kernel
+(plain XLA ops differentiated by autodiff).
 """
 
 from __future__ import annotations
 
+import functools
+from typing import Optional, Tuple
+
 import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_CHUNK = 128
 
 
 def on_tpu() -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _dg_tile(dg: int) -> Optional[int]:
+    """Largest divisor of dg that is <= 256 (lane-dim tile)."""
+    for cand in range(min(dg, 256), 0, -1):
+        if dg % cand == 0:
+            return cand
+    return None
+
+
 def supported(u, A, B, return_last_state) -> bool:
-    return False
+    if return_last_state:
+        return False
+    if u.ndim != 3 or A.ndim != 2:
+        return False
+    bsz, d, L = u.shape
+    n = A.shape[1]
+    G = B.shape[1] if B.ndim == 4 else 1
+    if d % G:
+        return False
+    if n > 64:
+        return False
+    return _dg_tile(d // G) is not None
 
 
-def selective_scan_pallas(u, delta, A, B, C, D, z, delta_bias, delta_softplus):
-    raise NotImplementedError
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    A_ref,      # (1, N, dgt)
+    db_ref,     # (1, 1, dgt)
+    Dsk_ref,    # (1, 1, dgt)
+    u_ref,      # (1, 1, Lc, dgt)
+    d_ref,      # (1, 1, Lc, dgt)
+    B_ref,      # (1, 1, Lc, N)
+    C_ref,      # (1, 1, Lc, N)
+    y_ref,      # (1, 1, Lc, dgt) out
+    cs_ref,     # (1, 1, 1, 1, N, dgt) out: chunk ENTRY state
+    state_ref,  # scratch (N, dgt)
+    a_ref,      # scratch (Lc, N, dgt)
+    xs_ref,     # scratch (Lc, N, dgt)
+    *,
+    softplus: bool,
+    Lc: int,
+):
+    ck = pl.program_id(3)
+
+    @pl.when(ck == 0)
+    def _():
+        state_ref[:] = jnp.zeros_like(state_ref)
+
+    A = A_ref[0]                       # (N, dgt)
+    u = u_ref[0, 0]                    # (Lc, dgt)
+    raw = d_ref[0, 0] + db_ref[0]      # (Lc, dgt)
+    dlt = jax.nn.softplus(raw) if softplus else raw
+    du = dlt * u                       # (Lc, dgt)
+    a_ref[:] = jnp.exp(dlt[:, None, :] * A[None])            # (Lc, N, dgt)
+    Bc = B_ref[0, 0]                   # (Lc, N)
+    xs_ref[:] = Bc[:, :, None] * du[:, None, :]              # b into xs (reused)
+
+    cs_ref[0, 0, 0, 0] = state_ref[:]  # entry state of this chunk
+
+    def body(t, x):
+        x = a_ref[t] * x + xs_ref[t]
+        xs_ref[t] = x
+        return x
+
+    state_ref[:] = jax.lax.fori_loop(0, Lc, body, state_ref[:])
+
+    Cc = C_ref[0, 0]                   # (Lc, N)
+    y = jnp.sum(Cc[:, :, None] * xs_ref[:], axis=1)          # (Lc, dgt)
+    y_ref[0, 0] = y + Dsk_ref[0] * u
+
+
+# ---------------------------------------------------------------------------
+# backward kernel
+# ---------------------------------------------------------------------------
+
+
+def _bwd_kernel(
+    A_ref,      # (1, N, dgt)
+    db_ref,     # (1, 1, dgt)
+    Dsk_ref,    # (1, 1, dgt)
+    u_ref,      # (1, 1, Lc, dgt)
+    d_ref,      # (1, 1, Lc, dgt)
+    B_ref,      # (1, 1, Lc, N)
+    C_ref,      # (1, 1, Lc, N)
+    cs_ref,     # (1, 1, 1, 1, N, dgt) saved entry state
+    g_ref,      # (1, 1, Lc, dgt) incoming dy
+    du_ref,     # out (1, 1, Lc, dgt)
+    dd_ref,     # out (1, 1, Lc, dgt)
+    dB_ref,     # out (1, 1, Lc, N)
+    dC_ref,     # out (1, 1, Lc, N)
+    dA_ref,     # out (1, 1, N, dgt)   accumulated over chunks
+    dD_ref,     # out (1, 1, 1, dgt)   accumulated
+    ddb_ref,    # out (1, 1, 1, dgt)   accumulated
+    carry_ref,  # scratch (N, dgt): a_0*e_0 of the chunk processed before (t+1 side)
+    a_ref,      # scratch (Lc, N, dgt)
+    xsp_ref,    # scratch (Lc, N, dgt): x_{t-1} (pre-update states)
+    xs_ref,     # scratch (Lc, N, dgt): x_t
+    e_ref,      # scratch (Lc, N, dgt): dL/dx_t
+    *,
+    softplus: bool,
+    Lc: int,
+):
+    ck = pl.program_id(3)  # 0 = LAST chunk (reverse walk via index_map)
+
+    @pl.when(ck == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+        dA_ref[:] = jnp.zeros_like(dA_ref)
+        dD_ref[:] = jnp.zeros_like(dD_ref)
+        ddb_ref[:] = jnp.zeros_like(ddb_ref)
+
+    A = A_ref[0]
+    u = u_ref[0, 0]
+    raw = d_ref[0, 0] + db_ref[0]
+    dlt = jax.nn.softplus(raw) if softplus else raw
+    du_in = dlt * u
+    a_ref[:] = jnp.exp(dlt[:, None, :] * A[None])
+    Bc = B_ref[0, 0]
+    Cc = C_ref[0, 0]
+    g = g_ref[0, 0]                      # (Lc, dgt)
+
+    # --- recompute within-chunk forward from the saved entry state ---
+    xs_ref[:] = Bc[:, :, None] * du_in[:, None, :]   # b, overwritten below
+
+    def fbody(t, x):
+        xsp_ref[t] = x
+        x = a_ref[t] * x + xs_ref[t]
+        xs_ref[t] = x
+        return x
+
+    jax.lax.fori_loop(0, Lc, fbody, cs_ref[0, 0, 0, 0])
+
+    # --- reverse scan: e_t = C_t g_t + a_{t+1} e_{t+1} ---
+    e_ref[:] = Cc[:, :, None] * g[:, None, :]        # dxc
+
+    def rbody(i, carry):
+        t = Lc - 1 - i
+        e = e_ref[t] + carry
+        e_ref[t] = e
+        return a_ref[t] * e
+    carry_ref[:] = jax.lax.fori_loop(0, Lc, rbody, carry_ref[:])
+
+    # --- vectorized gradient epilogue ---
+    e = e_ref[:]
+    a = a_ref[:]
+    xsp = xsp_ref[:]
+    xs = xs_ref[:]
+
+    eaxp = e * a * xsp                                # (Lc, N, dgt)
+    # delta from the a-path + from the b-path
+    dd_a = jnp.sum(eaxp * A[None], axis=1)            # (Lc, dgt)
+    ddu = jnp.sum(e * Bc[:, :, None], axis=1)         # (Lc, dgt)  = d(delta*u)
+    dd_total = dd_a + ddu * u
+    if softplus:
+        dd_total = dd_total * jax.nn.sigmoid(raw)
+    dd_ref[0, 0] = dd_total
+    du_ref[0, 0] = ddu * dlt + Dsk_ref[0] * g
+    dB_ref[0, 0] = jnp.sum(e * du_in[:, None, :], axis=2)   # (Lc, N)
+    dC_ref[0, 0] = jnp.sum(xs * g[:, None, :], axis=2)      # (Lc, N)
+    dA_ref[0, 0] += jnp.sum(eaxp * dlt[:, None, :], axis=0)  # (N, dgt)
+    dD_ref[0, 0, 0] += jnp.sum(g * u, axis=0)
+    ddb_ref[0, 0, 0] += jnp.sum(dd_total, axis=0)
+
+
+# ---------------------------------------------------------------------------
+# host-side wrappers
+# ---------------------------------------------------------------------------
+
+
+def _pad_L(x, Lp):
+    pad = Lp - x.shape[2]
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _scan_core(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
+    y, _ = _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret)
+    return y
+
+
+def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
+    """u, delta: (B,G,L,dg); A_t: (G,N,dg); Bm,Cm: (B,G,L,N); Dsk,db: (G,1,dg).
+
+    Returns y (B,G,L,dg) and cs (B,G,DT,nc,N,dg_tile) chunk entry states.
+    """
+    bsz, G, L, dg = u.shape
+    n = A_t.shape[1]
+    dgt = _dg_tile(dg)
+    DT = dg // dgt
+    Lc = min(chunk, L) if L % min(chunk, L) == 0 else min(chunk, L)
+    Lp = -(-L // Lc) * Lc
+    nc = Lp // Lc
+
+    u = _pad_L(u, Lp)
+    delta = _pad_L(delta, Lp)
+    Bm = _pad_L(Bm, Lp)
+    Cm = _pad_L(Cm, Lp)
+
+    grid = (bsz, G, DT, nc)
+    kernel = functools.partial(_fwd_kernel, softplus=softplus, Lc=Lc)
+    y, cs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n, dgt), lambda b, g, dt, ck: (g, 0, dt)),
+            pl.BlockSpec((1, 1, dgt), lambda b, g, dt, ck: (g, 0, dt)),
+            pl.BlockSpec((1, 1, dgt), lambda b, g, dt, ck: (g, 0, dt)),
+            pl.BlockSpec((1, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, ck, dt)),
+            pl.BlockSpec((1, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, ck, dt)),
+            pl.BlockSpec((1, 1, Lc, n), lambda b, g, dt, ck: (b, g, ck, 0)),
+            pl.BlockSpec((1, 1, Lc, n), lambda b, g, dt, ck: (b, g, ck, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, ck, dt)),
+            pl.BlockSpec(
+                (1, 1, 1, 1, n, dgt), lambda b, g, dt, ck: (b, g, dt, ck, 0, 0)
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, G, Lp, dg), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, G, DT, nc, n, dgt), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, dgt), jnp.float32),
+            pltpu.VMEM((Lc, n, dgt), jnp.float32),
+            pltpu.VMEM((Lc, n, dgt), jnp.float32),
+        ],
+        interpret=interpret,
+    )(A_t, db, Dsk, u, delta, Bm, Cm)
+    return y[:, :, :L], cs
+
+
+def _scan_core_fwd(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
+    y, cs = _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret)
+    return y, (u, delta, A_t, Bm, Cm, Dsk, db, cs)
+
+
+def _scan_core_bwd(softplus, chunk, interpret, res, gy):
+    u, delta, A_t, Bm, Cm, Dsk, db, cs = res
+    bsz, G, L, dg = u.shape
+    n = A_t.shape[1]
+    dgt = _dg_tile(dg)
+    DT = dg // dgt
+    Lc = min(chunk, L)
+    Lp = -(-L // Lc) * Lc
+    nc = Lp // Lc
+
+    u_p = _pad_L(u, Lp)
+    delta_p = _pad_L(delta, Lp)
+    Bm_p = _pad_L(Bm, Lp)
+    Cm_p = _pad_L(Cm, Lp)
+    gy_p = _pad_L(gy.astype(jnp.float32), Lp)
+
+    grid = (bsz, G, DT, nc)
+
+    def rev(ck):
+        return nc - 1 - ck
+
+    kernel = functools.partial(_bwd_kernel, softplus=softplus, Lc=Lc)
+    du, dd, dB, dC, dA, dD, ddb = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n, dgt), lambda b, g, dt, ck: (g, 0, dt)),
+            pl.BlockSpec((1, 1, dgt), lambda b, g, dt, ck: (g, 0, dt)),
+            pl.BlockSpec((1, 1, dgt), lambda b, g, dt, ck: (g, 0, dt)),
+            pl.BlockSpec((1, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, rev(ck), dt)),
+            pl.BlockSpec((1, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, rev(ck), dt)),
+            pl.BlockSpec((1, 1, Lc, n), lambda b, g, dt, ck: (b, g, rev(ck), 0)),
+            pl.BlockSpec((1, 1, Lc, n), lambda b, g, dt, ck: (b, g, rev(ck), 0)),
+            pl.BlockSpec(
+                (1, 1, 1, 1, n, dgt), lambda b, g, dt, ck: (b, g, dt, rev(ck), 0, 0)
+            ),
+            pl.BlockSpec((1, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, rev(ck), dt)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, rev(ck), dt)),
+            pl.BlockSpec((1, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, rev(ck), dt)),
+            pl.BlockSpec((1, 1, Lc, n), lambda b, g, dt, ck: (b, g, rev(ck), 0)),
+            pl.BlockSpec((1, 1, Lc, n), lambda b, g, dt, ck: (b, g, rev(ck), 0)),
+            pl.BlockSpec((1, 1, n, dgt), lambda b, g, dt, ck: (b, g * DT + dt, 0, 0)),
+            pl.BlockSpec((1, 1, 1, dgt), lambda b, g, dt, ck: (b, g * DT + dt, 0, 0)),
+            pl.BlockSpec((1, 1, 1, dgt), lambda b, g, dt, ck: (b, g * DT + dt, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, G, Lp, dg), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, G, Lp, dg), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, G, Lp, n), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, G, Lp, n), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, G * DT, n, dgt), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, G * DT, 1, dgt), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, G * DT, 1, dgt), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((n, dgt), jnp.float32),
+            pltpu.VMEM((Lc, n, dgt), jnp.float32),
+            pltpu.VMEM((Lc, n, dgt), jnp.float32),
+            pltpu.VMEM((Lc, n, dgt), jnp.float32),
+            pltpu.VMEM((Lc, n, dgt), jnp.float32),
+        ],
+        interpret=interpret,
+    )(A_t, db, Dsk, u_p, delta_p, Bm_p, Cm_p, cs, gy_p)
+
+    du = du[:, :, :L]
+    dd = dd[:, :, :L]
+    dB = dB[:, :, :L]
+    dC = dC[:, :, :L]
+    # (B, G*DT, n, dgt) -> (G, n, dg): sum over batch, stitch dg tiles
+    dA = dA.sum(0).reshape(G, DT, n, dgt).transpose(0, 2, 1, 3).reshape(G, n, dg)
+    dD = dD.sum(0).reshape(G, DT, dgt).reshape(G, 1, dg)
+    ddb = ddb.sum(0).reshape(G, DT, dgt).reshape(G, 1, dg)
+    return du, dd, dA, dB, dC, dD, ddb
+
+
+_scan_core.defvjp(_scan_core_fwd, _scan_core_bwd)
+
+
+def selective_scan_pallas(
+    u,
+    delta,
+    A,
+    B,
+    C,
+    D=None,
+    z=None,
+    delta_bias=None,
+    delta_softplus: bool = False,
+    chunk: int = DEFAULT_CHUNK,
+    interpret: Optional[bool] = None,
+):
+    """Drop-in for ``selective_scan`` on TPU. Shapes as in selective_scan.py."""
+    if interpret is None:
+        interpret = not on_tpu()
+    out_dtype = u.dtype
+    bsz, d, L = u.shape
+    if B.ndim == 3:
+        B = B[:, None]
+        C = C[:, None]
+    G = B.shape[1]
+    n = A.shape[1]
+    dg = d // G
+
+    # (B, D, L) -> time-major grouped (B, G, L, dg)
+    u_g = u.astype(jnp.float32).reshape(bsz, G, dg, L).transpose(0, 1, 3, 2)
+    d_g = delta.astype(jnp.float32).reshape(bsz, G, dg, L).transpose(0, 1, 3, 2)
+    Bm = B.astype(jnp.float32).transpose(0, 1, 3, 2)  # (B, G, L, N)
+    Cm = C.astype(jnp.float32).transpose(0, 1, 3, 2)
+    A_t = A.astype(jnp.float32).reshape(G, dg, n).transpose(0, 2, 1)  # (G, N, dg)
+    Dsk = (
+        D.astype(jnp.float32).reshape(G, 1, dg)
+        if D is not None
+        else jnp.zeros((G, 1, dg), jnp.float32)
+    )
+    db = (
+        delta_bias.astype(jnp.float32).reshape(G, 1, dg)
+        if delta_bias is not None
+        else jnp.zeros((G, 1, dg), jnp.float32)
+    )
+
+    y = _scan_core(u_g, d_g, A_t, Bm, Cm, Dsk, db, delta_softplus, chunk, interpret)
+    y = y.transpose(0, 1, 3, 2).reshape(bsz, d, L)
+    if z is not None:
+        y = y * jax.nn.silu(z.astype(jnp.float32))
+    return y.astype(out_dtype)
