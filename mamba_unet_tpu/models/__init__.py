@@ -4,6 +4,10 @@ from mamba_unet_tpu.models.registry import net_factory, register_model, list_mod
 from mamba_unet_tpu.models.vssm import VSSM, MambaUnet
 from mamba_unet_tpu.models.unet import UNet, UNetDS, UNetURPC, UNetCCT, TLUNet
 from mamba_unet_tpu.models.swin_unet import SwinUnet, SwinUnetSys
+from mamba_unet_tpu.models.vnet import VNet, VNetMagic
+from mamba_unet_tpu.models.small_nets import PNet2D, Projectors, Classifier, JigsawClassifier
+from mamba_unet_tpu.models.unet_3d import UNet3D, UNet3DDVSemi, VoxResNet
+from mamba_unet_tpu.models.enet import ENet
 
 __all__ = [
     "VSSM",
