@@ -36,10 +36,10 @@ def main() -> None:
         log_every=10_000,
         eval_every=10_000,
     )
-    # use_remat: per-block rematerialization keeps the fp32 scan intermediates
-    # out of the saved-activation set (bs24@224² would OOM 16G HBM otherwise).
+    # With the Pallas scan kernel only per-chunk states are saved for the
+    # backward, so bs24@224² fits HBM without remat (which costs ~30%).
     model = MambaUnet(
-        num_classes=4, drop_path_rate=0.2, dtype=jnp.bfloat16, use_remat=True
+        num_classes=4, drop_path_rate=0.2, dtype=jnp.bfloat16, use_remat=False
     )
     trainer = Trainer(model, cfg)
 
@@ -54,16 +54,19 @@ def main() -> None:
         ),
     }
 
-    # compile + warmup
+    # compile + warmup. NB: block_until_ready is unreliable through the axon
+    # tunnel; a host transfer (float()) is the authoritative sync.
     state, logs = trainer._step(trainer.state, batch)
-    jax.block_until_ready(state.params)
     trainer.state = state
+    _ = float(logs["loss_total"])
 
     n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         trainer.state, logs = trainer._step(trainer.state, batch)
-    jax.block_until_ready(trainer.state.params)
+    # the donated state chains every step; forcing the last loss to host
+    # forces the whole sequence
+    _ = float(logs["loss_total"])
     dt = time.perf_counter() - t0
 
     slices_per_sec = n_steps * batch_size / dt

@@ -1,0 +1,76 @@
+"""ACDC offline preprocessing: nii.gz volumes -> per-slice h5 + volume h5.
+
+Rebuild of ``/root/reference/code/dataloaders/acdc_data_processing.py:1-37``
+(min-max normalize the volume, emit gzip'd per-slice h5 for training and
+whole-volume h5 for val/test) without the hardcoded author paths, using the
+built-in NIfTI reader (nibabel-free).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Optional
+
+import h5py
+import numpy as np
+
+from mamba_unet_tpu.data.nifti import read_nifti
+
+
+def normalize_minmax(volume: np.ndarray) -> np.ndarray:
+    v = volume.astype(np.float32)
+    lo, hi = v.min(), v.max()
+    return (v - lo) / max(hi - lo, 1e-8)
+
+
+def convert_case(
+    image_path: str,
+    label_path: str,
+    case_name: str,
+    out_dir: str,
+    write_slices: bool = True,
+) -> int:
+    """Convert one (image, label) nii.gz pair; returns number of slices."""
+    image, _ = read_nifti(image_path)
+    label, _ = read_nifti(label_path)
+    image = normalize_minmax(image)
+    label = np.asarray(label).astype(np.uint8)
+    # nii is (X, Y, Z); the h5 layout is (Z, H, W) like the reference's
+    image = np.transpose(image, (2, 0, 1))
+    label = np.transpose(label, (2, 0, 1))
+
+    os.makedirs(os.path.join(out_dir, "data", "slices"), exist_ok=True)
+    with h5py.File(os.path.join(out_dir, "data", f"{case_name}.h5"), "w") as f:
+        f.create_dataset("image", data=image, compression="gzip")
+        f.create_dataset("label", data=label, compression="gzip")
+    if write_slices:
+        for i in range(image.shape[0]):
+            p = os.path.join(out_dir, "data", "slices",
+                             f"{case_name}_slice_{i}.h5")
+            with h5py.File(p, "w") as f:
+                f.create_dataset("image", data=image[i], compression="gzip")
+                f.create_dataset("label", data=label[i], compression="gzip")
+    return image.shape[0]
+
+
+def convert_acdc(raw_dir: str, out_dir: str) -> None:
+    """Walk ACDC raw layout ({patient*/ *_frameXX.nii.gz + *_gt.nii.gz})."""
+    images = sorted(
+        p for p in glob.glob(os.path.join(raw_dir, "**", "*frame*.nii.gz"),
+                             recursive=True)
+        if "_gt" not in p
+    )
+    slice_ids, case_ids = [], []
+    for img in images:
+        gt = img.replace(".nii.gz", "_gt.nii.gz")
+        if not os.path.exists(gt):
+            continue
+        case = os.path.basename(img).replace(".nii.gz", "")
+        n = convert_case(img, gt, case, out_dir)
+        case_ids.append(case)
+        slice_ids += [f"{case}_slice_{i}" for i in range(n)]
+    with open(os.path.join(out_dir, "train_slices.list"), "w") as f:
+        f.write("\n".join(slice_ids) + "\n")
+    with open(os.path.join(out_dir, "all_cases.list"), "w") as f:
+        f.write("\n".join(case_ids) + "\n")

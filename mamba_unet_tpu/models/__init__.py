@@ -8,6 +8,8 @@ from mamba_unet_tpu.models.vnet import VNet, VNetMagic
 from mamba_unet_tpu.models.small_nets import PNet2D, Projectors, Classifier, JigsawClassifier
 from mamba_unet_tpu.models.unet_3d import UNet3D, UNet3DDVSemi, VoxResNet
 from mamba_unet_tpu.models.enet import ENet
+from mamba_unet_tpu.models.segmamba import SegMamba
+from mamba_unet_tpu.models.mamba_lm import MambaLMHeadModel
 
 __all__ = [
     "VSSM",

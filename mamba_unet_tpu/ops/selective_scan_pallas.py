@@ -47,11 +47,26 @@ def on_tpu() -> bool:
 
 
 def _dg_tile(dg: int) -> Optional[int]:
-    """Largest divisor of dg that is <= 256 (lane-dim tile)."""
-    for cand in range(min(dg, 256), 0, -1):
+    """Lane-dim tile: Mosaic requires the block's last dim to be a multiple
+    of 128 OR equal to the full array dim, so pick a 128-multiple divisor of
+    dg when tiling is needed, else take dg whole (small enough for VMEM)."""
+    for cand in (256, 128):
         if dg % cand == 0:
             return cand
+    if dg <= 512:
+        return dg
     return None
+
+
+def _cap_chunk(chunk: int, L: int, n: int, dgt: int) -> int:
+    """Shrink the L-chunk so the backward's five (Lc, N, dgt) fp32 scratch
+    buffers stay within ~8 MB of VMEM (the v5e scoped-vmem limit is 16 MB and
+    the pipelined in/out blocks need headroom)."""
+    budget = 8 * 1024 * 1024
+    per_step = 5 * n * dgt * 4
+    cap = max(budget // per_step, 8)
+    # Mosaic: block sublane dim must be a multiple of 8
+    return max(8, (min(chunk, L, cap) // 8) * 8)
 
 
 def supported(u, A, B, return_last_state) -> bool:
@@ -240,7 +255,7 @@ def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
     n = A_t.shape[1]
     dgt = _dg_tile(dg)
     DT = dg // dgt
-    Lc = min(chunk, L) if L % min(chunk, L) == 0 else min(chunk, L)
+    Lc = _cap_chunk(chunk, L, n, dgt)
     Lp = -(-L // Lc) * Lc
     nc = Lp // Lc
 
@@ -294,7 +309,7 @@ def _scan_core_bwd(softplus, chunk, interpret, res, gy):
     n = A_t.shape[1]
     dgt = _dg_tile(dg)
     DT = dg // dgt
-    Lc = min(chunk, L)
+    Lc = _cap_chunk(chunk, L, n, dgt)
     Lp = -(-L // Lc) * Lc
     nc = Lp // Lc
 

@@ -1,0 +1,277 @@
+"""MagicNet semi-supervised trainer (cube partition/recovery + location
+reasoning + debiased pseudo-label blending).
+
+Rebuild of ``/root/reference/code/train_Semi_MagicNet_2D.py:190-330`` (the
+3-D BTCV script :114-393 is the same pipeline at rank 3 — this trainer is
+rank-generic through the cube ops and VNetMagic). Per step:
+
+  1. sup: CE + MagicDice on labeled outputs,
+  2. cross-image partition-and-recovery: shuffle cubes ACROSS the batch,
+     forward, un-shuffle the 16-ch embedding, prediction head -> unmix
+     outputs; MagicDice on labeled + (rampup-weighted) dice of the unlabeled
+     slice against blended pseudo-labels,
+  3. magic-cube location: encode every cube, classify its location (CE),
+  4. within-image: per-cube decode, reassemble embeddings, head -> dice on
+     labeled,
+  5. pseudo-label blending: organ-class histogram (host-side logger,
+     refreshed every 20 iters) -> weight map omega = norm(dist^(1/T)) gathered
+     at the teacher's class -> blend teacher and per-cube unmixed logits
+     (engaged after iteration 100),
+  6. loss = sup/4 + 0.1 * loc + w(t) * consistency; EMA teacher update.
+
+The reference's host-side conditional (iter > 100) becomes a traced
+``jnp.where``; the class histogram is computed in-graph (a (C,) bincount)
+and accumulated by the host logger.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamba_unet_tpu.objectives.cube import (
+    OrganClassLogger,
+    apply_cube_permutation,
+    cube_shuffle_indices,
+    get_patch_list,
+    unmix_patches,
+)
+from mamba_unet_tpu.objectives.losses import cross_entropy_loss
+from mamba_unet_tpu.train.state import TrainState, ema_update
+from mamba_unet_tpu.train.trainer import TrainConfig, Trainer
+from mamba_unet_tpu.train.methods import rampup_weight
+
+_SMOOTH = 1e-10
+
+
+def magic_dice(probs, target_onehot, weight_map=None):
+    """MagicDiceLoss (losses.py:19-60): smooth 1e-10, squared denominators,
+    optional per-pixel weighting of the target, mean over classes."""
+    n = probs.shape[-1]
+    t = target_onehot.astype(jnp.float32)
+    if weight_map is not None:
+        t = t * weight_map
+    p = probs.astype(jnp.float32)
+    loss = 0.0
+    for i in range(n):
+        inter = 2 * jnp.sum(p[..., i] * t[..., i]) + _SMOOTH
+        union = jnp.sum(p[..., i] ** 2) + jnp.sum(t[..., i] ** 2) + _SMOOTH
+        loss += 1.0 - inter / union
+    return loss / n
+
+
+def magic_dice_labels(probs, labels, weight_map=None):
+    return magic_dice(probs, jax.nn.one_hot(labels, probs.shape[-1]), weight_map)
+
+
+class MagicNetTrainer(Trainer):
+    def __init__(self, model, config: TrainConfig, labeled_bs: int = 12,
+                 cube_size: int = 32, consistency: float = 0.1,
+                 consistency_rampup: float = 200.0, rampup_stride: int = 350,
+                 t_dist: float = 0.1, ema_decay: float = 0.99,
+                 blend_after: int = 100, **kw):
+        self.labeled_bs = labeled_bs
+        self.cube_size = cube_size
+        self.consistency = consistency
+        self.consistency_rampup = consistency_rampup
+        self.rampup_stride = rampup_stride
+        self.t_dist = t_dist
+        self.ema_decay = ema_decay
+        self.blend_after = blend_after
+        self.dist_logger = OrganClassLogger(config.num_classes)
+        self._hist_accum = []
+        super().__init__(model, config, **kw)
+        # VNetMagic.__call__ never touches fc_layer; re-init through init_all
+        # so the location head's params exist.
+        sample = jnp.zeros(
+            (config.batch_size, *config.patch_size, 1), jnp.float32
+        )
+        variables = jax.jit(
+            lambda r, x: model.init(r, x, method="init_all")
+        )(jax.random.key(config.seed), sample)
+        opt_state = self.tx.init(variables["params"])
+        self.state = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=variables["params"],
+            batch_stats=variables.get("batch_stats", {}),
+            opt_state=opt_state,
+            tx=self.tx,
+            ema_params=jax.tree_util.tree_map(jnp.copy, variables["params"]),
+        )
+        self._step = jax.jit(self._train_step, donate_argnums=(0,))
+
+    # the MagicNet model has no BatchNorm in its conv path (instancenorm),
+    # but the FcLayer does — run it in batch mode and discard the stats.
+    def _apply(self, params, x, method=None, rng=None):
+        v = self.state.variables(params)
+        kwargs = dict(deterministic=True)
+        out = self.model.apply(v, x, method=method, **kwargs)
+        return out
+
+    def _init_state_sample(self):
+        cfg = self.config
+        return jnp.zeros((cfg.batch_size, *cfg.patch_size, 1), jnp.float32)
+
+    def _train_step(self, state: TrainState, batch):
+        cfg = self.config
+        lb = self.labeled_bs
+        num_classes = cfg.num_classes
+        rng = jax.random.fold_in(jax.random.key(cfg.seed), state.step)
+        r_mix, r_noise, r_loc = jax.random.split(rng, 3)
+        image, label = batch["image"], batch["label"]
+        class_dist = batch["class_dist"]  # (C,) host-maintained histogram
+        bsz = image.shape[0]
+        rank = image.ndim - 2
+        nb = image.shape[1] // self.cube_size
+        P = nb**rank
+
+        part, rec = cube_shuffle_indices(r_mix, bsz, nb, rank)
+        img_mix = apply_cube_permutation(image, part, nb)
+
+        # teacher pseudo-labels on noised unlabeled slice
+        noise = jnp.clip(0.1 * jax.random.normal(r_noise, image[lb:].shape),
+                         -0.2, 0.2)
+        ema_vars = state.variables(state.ema_params)
+        ema_out, _ = self.model.apply(ema_vars, image[lb:] + noise)
+        ema_out = jax.lax.stop_gradient(ema_out)
+        teacher_soft = jax.nn.softmax(ema_out, axis=-1)
+        teacher_class = jnp.argmax(teacher_soft, axis=-1)
+
+        def loss_fn(params):
+            v = state.variables(params)
+            outputs, _ = self.model.apply(v, image)
+
+            # cross-image partition-and-recovery
+            out_mix, emb_mix = self.model.apply(v, img_mix)
+            emb_rec = apply_cube_permutation(emb_mix, rec, nb)
+            out_unmix = self.model.apply(v, emb_rec,
+                                         method="forward_prediction_head")
+
+            soft = jax.nn.softmax(outputs, axis=-1)
+            soft_unmix = jax.nn.softmax(out_unmix, axis=-1)
+
+            sup = cross_entropy_loss(outputs[:lb], label[:lb])
+            sup += magic_dice_labels(soft[:lb], label[:lb])
+            sup += magic_dice_labels(soft_unmix[:lb], label[:lb])
+
+            # magic-cube location reasoning: classify each cube's location
+            patches = get_patch_list(image, self.cube_size)  # (B,P,cs..,1)
+            flat_patches = patches.reshape(bsz * P, *patches.shape[2:])
+            feats = self.model.apply(v, flat_patches, method="forward_encoder")
+            bottleneck = feats[-1].reshape(bsz * P, -1)
+            loc_logits, _ = self.model.apply(
+                v, bottleneck, method="forward_location",
+                deterministic=False, mutable=["batch_stats"],
+                rngs={"dropout": r_loc},
+            )
+            loc_targets = jnp.tile(jnp.arange(P), bsz)
+            loc_loss = cross_entropy_loss(loc_logits, loc_targets)
+
+            # within-image partition-and-recovery: decode each cube alone
+            cube_preds, cube_embeds = self.model.apply(
+                v, feats, method="forward_decoder"
+            )
+            cube_embeds = cube_embeds.reshape(bsz, P, *cube_embeds.shape[1:])
+            emb_all_unmix = unmix_patches(cube_embeds, nb)
+            pred_all_unmix = self.model.apply(
+                v, emb_all_unmix, method="forward_prediction_head"
+            )
+            unmix_soft = jax.nn.softmax(pred_all_unmix, axis=-1)
+            sup += magic_dice_labels(unmix_soft[:lb], label[:lb])
+
+            # cube-wise pseudo-label blending (after blend_after iters)
+            dist = class_dist ** (1.0 / self.t_dist)
+            dist = dist / jnp.maximum(dist.sum(), 1e-12)
+            dist = dist / jnp.maximum(dist.max(), 1e-12)
+            weight = dist[teacher_class][..., None]  # (B-lb, ..., 1)
+            cube_pl = jax.lax.stop_gradient(
+                unmix_patches(
+                    cube_preds.reshape(bsz, P, *cube_preds.shape[1:]), nb
+                )[lb:]
+            )
+            blended = (1.0 - weight) * ema_out + weight * cube_pl
+            blend_class = jnp.argmax(jax.nn.softmax(blended, axis=-1), axis=-1)
+            use_blend = jnp.logical_and(
+                state.step > self.blend_after, class_dist.sum() > 0
+            )
+            pl = jnp.where(use_blend, blend_class, teacher_class)
+
+            cons = magic_dice_labels(soft_unmix[lb:], pl)
+            w = rampup_weight(
+                state.step * 150 // self.rampup_stride,  # iter//stride ramp
+                self.consistency, self.consistency_rampup,
+            )
+            total = sup / 4.0 + 0.1 * loc_loss + w * cons
+
+            hist_src = jnp.where(use_blend, blend_class, teacher_class)
+            hist = jnp.bincount(hist_src.reshape(-1), length=num_classes)
+            logs = {"loss_total": total, "loss_sup": sup / 4.0,
+                    "loss_loc": loc_loss, "loss_cons": cons, "cons_weight": w,
+                    "class_hist": hist}
+            return total, logs
+
+        (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        state = state.apply_gradients(grads)
+        state = state.replace(
+            ema_params=ema_update(state.ema_params, state.params, state.step,
+                                  self.ema_decay)
+        )
+        return state, logs
+
+    def fit(self, train_loader, val_dataset=None):
+        import time
+
+        from mamba_unet_tpu.train.trainer import log
+
+        cfg = self.config
+        history = []
+        best = 0.0
+        it = 0
+        t0 = time.time()
+        for batch in train_loader:
+            if it >= cfg.max_iterations:
+                break
+            dist = self.dist_logger.get_class_dist().astype(np.float32)
+            batch = {
+                "image": jax.device_put(batch["image"], self._bsh),
+                "label": jax.device_put(batch["label"], self._bsh),
+                "class_dist": jnp.asarray(dist),
+            }
+            self.state, logs = self._step(self.state, batch)
+            it += 1
+            self._hist_accum.append(np.asarray(logs["class_hist"]))
+            if it % 20 == 0:
+                # dist refresh cadence (train_Semi_MagicNet_2D.py:299-300)
+                self.dist_logger.class_dist = np.sum(
+                    np.stack(self._hist_accum), axis=0
+                ).astype(np.float64)
+                self._hist_accum = []
+            if it % cfg.log_every == 0 or it == 1:
+                log.info(
+                    "iter %d loss %.4f (sup %.4f loc %.4f cons %.4f) (%.1f it/s)",
+                    it, float(logs["loss_total"]), float(logs["loss_sup"]),
+                    float(logs["loss_loc"]), float(logs["loss_cons"]),
+                    it / (time.time() - t0),
+                )
+                history.append({"iter": it, "loss": float(logs["loss_total"])})
+            if val_dataset is not None and it % cfg.eval_every == 0:
+                dice = self.evaluate(val_dataset)
+                log.info("iter %d val mean dice %.4f", it, dice)
+                history.append({"iter": it, "val_dice": dice})
+                best = max(best, dice)
+        return {"best_dice": best, "iterations": it, "history": history}
+
+    def predict_fn(self):
+        state = self.state
+
+        @jax.jit
+        def fwd(params, x):
+            out, _ = self.model.apply({"params": params}, x)
+            return out
+
+        return lambda x: fwd(state.params, x)
