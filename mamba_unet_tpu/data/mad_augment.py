@@ -1,0 +1,184 @@
+"""MAD (mask-autoencoder-denoiser) corruption transforms.
+
+Refs: ``/root/reference/code/dataloaders/dataset.py`` — random_mask_puzzle
+(:300-320, zero random grid cells), random_mask_edge (:322-357, Canny-guided
+neighborhood overwrite), image2binary/np_soft_max (:359-379, one-hot with
+ε noise + softmax), RandomGeneratorv2 (:525-543, rot/flip/rotate + scale +
+crop + resize) and RandomGeneratorv3 (:545-673, the MAD-pretrain label
+corruption pipeline with randomized mask parameter draws and image-fusion
+modes, catalogued in utils/utils.py:94-104).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+from scipy import ndimage
+from scipy.ndimage import zoom as nd_zoom
+
+from mamba_unet_tpu.data.augment import random_rot_flip, random_rotate
+
+
+def random_mask_puzzle(rng, image, mask_rate=0.25, mask_size=(8, 8)):
+    """Zero ``mask_rate`` of the (H/ms, W/ms) grid cells."""
+    x, y = image.shape
+    ms = mask_size[0]
+    gx, gy = x // ms, y // ms
+    img = image.copy().reshape(gx, ms, gy, ms).transpose(0, 2, 1, 3)
+    flat = img.reshape(-1, ms, ms)
+    n_zero = int(flat.shape[0] * mask_rate)
+    idx = rng.choice(flat.shape[0], n_zero, replace=False)
+    flat[idx] = 0
+    img = flat.reshape(gx, gy, ms, ms).transpose(0, 2, 1, 3).reshape(x, y)
+    return img
+
+
+def random_mask_edge(rng, image, mask_rate=0.03, mask_size=(4, 4), mask_val=-1):
+    """Overwrite neighborhoods of random Canny edge pixels with a constant or
+    a randomly drawn neighborhood value."""
+    img = image.copy()
+    edges = cv2.Canny(img.astype(np.uint8), 1, 2)
+    rows, cols = np.where(edges == 255)
+    if len(rows) == 0:
+        return img
+    n = int(len(rows) * mask_rate)
+    sel = rng.choice(len(rows), min(n, len(rows)), replace=False)
+    for i in sel:
+        r, c = rows[i], cols[i]
+        top = max(0, r - mask_size[1])
+        bottom = min(img.shape[0], r + mask_size[1])
+        left = max(0, c - mask_size[0])
+        right = min(img.shape[1], c + mask_size[0])
+        if mask_val < 0:
+            val = rng.choice(img[top:bottom, left:right].reshape(-1))
+        else:
+            val = mask_val
+        img[top:bottom, left:right] = val
+    return img
+
+
+def image2binary(img, error_val=1e-3, num_classes=4):
+    """Label map -> near-one-hot channel stack (CHW in ref; HWC here)."""
+    out = np.full((*img.shape, num_classes), error_val, np.float32)
+    for i in range(num_classes):
+        out[..., i][img == i] = 1 - error_val
+    return out
+
+
+def np_softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def random_scale_2d(rng, image, label, scale_range=(0.8, 1.2)):
+    s = rng.uniform(*scale_range)
+    image = nd_zoom(image, s, order=0)
+    label = nd_zoom(label, s, order=0)
+    return image, label
+
+
+def random_crop_2d(rng, image, label, output_size):
+    """Pad (+3 margin) then random-crop (dataset.py:190-207)."""
+    if label.shape[0] <= output_size[0] or label.shape[1] <= output_size[1]:
+        pw = max((output_size[0] - label.shape[0]) // 2 + 3, 0)
+        ph = max((output_size[1] - label.shape[1]) // 2 + 3, 0)
+        image = np.pad(image, [(pw, pw), (ph, ph)], constant_values=0)
+        label = np.pad(label, [(pw, pw), (ph, ph)], constant_values=0)
+    w, h = image.shape
+    w1 = rng.integers(0, w - output_size[0])
+    h1 = rng.integers(0, h - output_size[1])
+    sl = np.s_[w1 : w1 + output_size[0], h1 : h1 + output_size[1]]
+    return image[sl], label[sl]
+
+
+def resize_pair(image, label, output_size):
+    x, y = image.shape
+    f = (output_size[0] / x, output_size[1] / y)
+    if f != (1.0, 1.0):
+        image = nd_zoom(image, f, order=0)
+        label = nd_zoom(label, f, order=0)
+    return image, label
+
+
+class RandomGeneratorV2:
+    """rot/flip | rotate, then scale(0.8-1.2) + pad/crop + resize
+    (dataset.py:525-543)."""
+
+    def __init__(self, output_size: Sequence[int], seed: int = 0):
+        self.output_size = tuple(output_size)
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, sample):
+        image, label = sample["image"], sample["label"]
+        if self.rng.random() > 0.5:
+            image, label = random_rot_flip(self.rng, image, label)
+        elif self.rng.random() > 0.5:
+            image, label = random_rotate(self.rng, image, label)
+        image, label = random_scale_2d(self.rng, image, label)
+        image, label = random_crop_2d(self.rng, image, label, self.output_size)
+        image, label = resize_pair(image, label, self.output_size)
+        return {
+            "image": image.astype(np.float32)[..., None],
+            "label": label.astype(np.int64),
+        }
+
+
+_PUZZLE_SIZES = [1, 1, 1, 1, 2, 2, 2, 4, 4, 8]
+_PUZZLE_RATES = [0.15, 0.17, 0.19, 0.21, 0.23, 0.25, 0.27, 0.30, 0.35,
+                 0.40, 0.45, 0.55, 0.65]
+_EDGE_SIZES = [1, 2, 3, 4]
+
+
+class MADPretrainTransform:
+    """RandomGeneratorv3 mode 0 with label corruption: the network INPUT is a
+    softmaxed near-one-hot of the (masked) label; target is the clean label.
+    (dataset.py:545-673 / MAD_Pretrain.py)."""
+
+    def __init__(self, output_size: Sequence[int], num_classes: int = 4,
+                 error_val: float = 1e-3, geometric: bool = True,
+                 seed: int = 0):
+        self.output_size = tuple(output_size)
+        self.num_classes = num_classes
+        self.error_val = error_val
+        self.geometric = geometric
+        self.rng = np.random.default_rng(seed)
+
+    def _corrupt(self, corrupted):
+        rng = self.rng
+        ms = int(rng.choice(_PUZZLE_SIZES))
+        puzzle_rate = float(rng.choice(_PUZZLE_RATES))
+        es = int(rng.choice(_EDGE_SIZES))
+        total = rng.uniform(1, 4)
+        edge_rate = total / 4 / es / es
+        val = int(rng.choice([-1, 0]))
+        r = rng.random()
+        if r < 0.20:
+            corrupted = random_mask_puzzle(rng, corrupted, puzzle_rate, (ms, ms))
+        elif r < 0.85:
+            corrupted = random_mask_edge(rng, corrupted, edge_rate, (es, es), val)
+        else:
+            corrupted = random_mask_edge(rng, corrupted, edge_rate, (es, es), val)
+            corrupted = random_mask_puzzle(rng, corrupted, puzzle_rate, (ms, ms))
+        return corrupted
+
+    def __call__(self, sample):
+        _, label = sample["image"], sample["label"]
+        label = label.astype(np.float32)
+        if self.geometric:
+            if self.rng.random() > 0.5:
+                label, _ = random_rot_flip(self.rng, label, label)
+            if self.rng.random() > 0.5:
+                label, _ = random_rotate(self.rng, label, label)
+            label, _ = random_scale_2d(self.rng, label, label)
+            label, _ = random_crop_2d(self.rng, label, label, self.output_size)
+        label, _ = resize_pair(label, label, self.output_size)
+        corrupted = label.copy()
+        if self.rng.random() > 0.3:
+            corrupted = self._corrupt(corrupted)
+        onehot = image2binary(corrupted, self.error_val, self.num_classes)
+        return {
+            "image": np_softmax(onehot).astype(np.float32),
+            "label": label.astype(np.int64),
+        }

@@ -1,0 +1,141 @@
+"""MAD trainers: label-denoiser pretraining and the stacked fine-tuning.
+
+Refs: ``/root/reference/code/MAD_Pretrain.py`` (UNet with in_chns=num_classes
+trained on corrupted-one-hot-label -> clean label, CE+Dice) and
+``MAD_FineTuning.py:95-150`` (seg_model + mad_model + third 'ema' denoiser,
+three SGD states, loss = sum of three 0.5*(CE+Dice) terms; the mad model eats
+softmax(seg)/cached-pred blends, the 'ema' model eats softmax(seg)).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mamba_unet_tpu.objectives.losses import supervised_ce_dice
+from mamba_unet_tpu.train.optim import poly_sgd
+from mamba_unet_tpu.train.state import TrainState, create_train_state
+from mamba_unet_tpu.train.trainer import TrainConfig, Trainer
+
+# MAD pretraining IS the base fully-supervised Trainer: plug a UNet with
+# in_chns=num_classes and the MADPretrainTransform dataset transform
+# (data/mad_augment.py). No new step logic needed — kept as an alias for
+# discoverability.
+MADPretrainTrainer = Trainer
+
+
+class MADState(struct.PyTreeNode):
+    step: jnp.ndarray
+    seg: TrainState
+    mad: TrainState
+    den: TrainState  # the reference's (misnamed) 'ema' third model
+
+
+class MADFineTuneTrainer(Trainer):
+    """Stacked fine-tuning: seg -> softmax -> {mad (blend with mask_label),
+    den}; three independently-optimized models; summed loss."""
+
+    def __init__(self, seg_model, mad_model, config: TrainConfig, **kw):
+        self.mad_model = mad_model
+        super().__init__(seg_model, config, **kw)
+        cfg = config
+        x_seg = jnp.zeros((cfg.batch_size, *cfg.patch_size, 1), jnp.float32)
+        x_mad = jnp.zeros(
+            (cfg.batch_size, *cfg.patch_size, cfg.num_classes), jnp.float32
+        )
+        mk = lambda m, x, seed: create_train_state(
+            m, jax.random.key(seed), x, poly_sgd(cfg.base_lr, cfg.max_iterations)
+        )
+        self.mad_state = MADState(
+            step=jnp.zeros((), jnp.int32),
+            seg=self.state,
+            mad=mk(mad_model, x_mad, cfg.seed + 1),
+            den=mk(mad_model, x_mad, cfg.seed + 2),
+        )
+        self._mad_step = jax.jit(self._train_step3, donate_argnums=(0,))
+
+    def _apply_train(self, model, st: TrainState, params, x, rng):
+        mutable = ["batch_stats"] if st.batch_stats else []
+        v = {"params": params}
+        if st.batch_stats:
+            v["batch_stats"] = st.batch_stats
+        out = model.apply(v, x, deterministic=False,
+                          rngs={"dropout": rng}, mutable=mutable)
+        if mutable:
+            logits, upd = out
+            return logits, upd["batch_stats"]
+        return out, None
+
+    def _train_step3(self, ms: MADState, batch):
+        cfg = self.config
+        rng = jax.random.fold_in(jax.random.key(cfg.seed), ms.step)
+        r1, r2, r3 = jax.random.split(rng, 3)
+        image, label = batch["image"], batch["label"]
+        mask_label = batch.get("mask_label")  # (B, H, W, C) cached/corrupted
+
+        def loss_fn(p_seg, p_mad, p_den):
+            seg_out, bs_seg = self._apply_train(self.model, ms.seg, p_seg,
+                                                image, r1)
+            seg_soft = jax.nn.softmax(seg_out, axis=-1)
+            mask_in = jax.lax.stop_gradient(seg_soft)
+            blend = mask_in if mask_label is None else jax.nn.softmax(
+                (mask_in + mask_label) / 2.0, axis=-1
+            )
+            mad_out, bs_mad = self._apply_train(self.mad_model, ms.mad, p_mad,
+                                                blend, r2)
+            den_out, bs_den = self._apply_train(self.mad_model, ms.den, p_den,
+                                                mask_in, r3)
+            seg_loss = supervised_ce_dice(seg_out, label)
+            mad_loss = supervised_ce_dice(mad_out, label)
+            den_loss = supervised_ce_dice(den_out, label)
+            total = seg_loss + mad_loss + den_loss
+            return total, (bs_seg, bs_mad, bs_den,
+                           {"loss_total": total, "loss_seg": seg_loss,
+                            "loss_mad": mad_loss, "loss_den": den_loss})
+
+        (loss, (bs1, bs2, bs3, logs)), grads = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True
+        )(ms.seg.params, ms.mad.params, ms.den.params)
+        return MADState(
+            step=ms.step + 1,
+            seg=ms.seg.apply_gradients(grads[0], bs1),
+            mad=ms.mad.apply_gradients(grads[1], bs2),
+            den=ms.den.apply_gradients(grads[2], bs3),
+        ), logs
+
+    def fit(self, train_loader, val_dataset=None):
+        import time
+
+        import numpy as np
+
+        from mamba_unet_tpu.train.trainer import log
+
+        cfg = self.config
+        history, best, it = [], 0.0, 0
+        t0 = time.time()
+        for batch in train_loader:
+            if it >= cfg.max_iterations:
+                break
+            dev = {
+                "image": jax.device_put(batch["image"], self._bsh),
+                "label": jax.device_put(batch["label"], self._bsh),
+            }
+            if "mask_label" in batch:
+                dev["mask_label"] = jax.device_put(batch["mask_label"], self._bsh)
+            self.mad_state, logs = self._mad_step(self.mad_state, dev)
+            self.state = self.mad_state.seg
+            it += 1
+            if it % cfg.log_every == 0 or it == 1:
+                log.info("iter %d loss %.4f (seg %.4f mad %.4f den %.4f)",
+                         it, float(logs["loss_total"]), float(logs["loss_seg"]),
+                         float(logs["loss_mad"]), float(logs["loss_den"]))
+                history.append({"iter": it, "loss": float(logs["loss_total"])})
+            if val_dataset is not None and it % cfg.eval_every == 0:
+                dice = self.evaluate(val_dataset)
+                history.append({"iter": it, "val_dice": dice})
+                best = max(best, dice)
+                log.info("iter %d val dice %.4f", it, dice)
+        return {"best_dice": best, "iterations": it, "history": history}
