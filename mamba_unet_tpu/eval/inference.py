@@ -77,12 +77,29 @@ def test_single_volume(
     ]
 
 
+def gaussian_importance_map(patch_size: Sequence[int], sigma_scale: float = 0.125):
+    """nnU-Net's Gaussian tile weighting (neural_network.py Generic predictor):
+    a centered Gaussian, normalized to max 1, zeros clipped to the min
+    positive value so every voxel keeps nonzero weight."""
+    tmp = np.zeros(patch_size, np.float32)
+    center = tuple(s // 2 for s in patch_size)
+    tmp[center] = 1.0
+    from scipy.ndimage import gaussian_filter
+
+    sigmas = [s * sigma_scale for s in patch_size]
+    g = gaussian_filter(tmp, sigmas, mode="constant")
+    g = g / g.max()
+    g[g == 0] = g[g > 0].min()
+    return g.astype(np.float32)
+
+
 def sliding_window_inference_3d(
     image: np.ndarray,
     predict_fn: Callable[[np.ndarray], np.ndarray],
     num_classes: int,
     patch_size: Sequence[int] = (96, 96, 96),
     stride: Sequence[int] = (16, 16, 16),
+    gaussian_weighting: bool = False,
 ) -> np.ndarray:
     """Tiled 3-D inference with score accumulation (test_util.py:89-152).
 
@@ -101,6 +118,10 @@ def sliding_window_inference_3d(
     sy = math.ceil((hh - ph) / stride[1]) + 1 if hh > ph else 1
     sz = math.ceil((ww - pw) / stride[2]) + 1 if ww > pw else 1
 
+    weight = (
+        gaussian_importance_map(patch_size) if gaussian_weighting
+        else np.ones(patch_size, np.float32)
+    )
     score = np.zeros((num_classes, dd, hh, ww), np.float32)
     cnt = np.zeros((dd, hh, ww), np.float32)
     for ix in range(sx):
@@ -113,10 +134,10 @@ def sliding_window_inference_3d(
                 logits = np.asarray(predict_fn(patch[None, ..., None]))[0]
                 e = np.exp(logits - logits.max(axis=-1, keepdims=True))
                 prob = e / e.sum(axis=-1, keepdims=True)  # (pd,ph,pw,C)
-                score[:, xs : xs + pd, ys : ys + ph, zs : zs + pw] += prob.transpose(
-                    3, 0, 1, 2
+                score[:, xs : xs + pd, ys : ys + ph, zs : zs + pw] += (
+                    prob.transpose(3, 0, 1, 2) * weight[None]
                 )
-                cnt[xs : xs + pd, ys : ys + ph, zs : zs + pw] += 1
+                cnt[xs : xs + pd, ys : ys + ph, zs : zs + pw] += weight
     score /= np.maximum(cnt, 1)[None]
     pred = np.argmax(score, axis=0)
     if any(pads):

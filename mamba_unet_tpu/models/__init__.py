@@ -10,6 +10,9 @@ from mamba_unet_tpu.models.unet_3d import UNet3D, UNet3DDVSemi, VoxResNet
 from mamba_unet_tpu.models.enet import ENet
 from mamba_unet_tpu.models.segmamba import SegMamba
 from mamba_unet_tpu.models.mamba_lm import MambaLMHeadModel
+from mamba_unet_tpu.models.attention_unet import AttentionUNet3D
+from mamba_unet_tpu.models.unetr import UNETR
+from mamba_unet_tpu.models.nnunet import GenericUNet
 
 __all__ = [
     "VSSM",
