@@ -171,8 +171,13 @@ def selective_scan_xla(
     delta_softplus: bool = False,
     return_last_state: bool = False,
     chunk: int = 256,
+    x_init: Optional[jnp.ndarray] = None,
 ):
-    """Chunked associative scan; O(chunk·N·D) live intermediates via remat."""
+    """Chunked associative scan; O(chunk·N·D) live intermediates via remat.
+
+    ``x_init`` (B, D, N): optional incoming state — the hook that lets a
+    sequence-sharded caller pass the ring carry from the previous shard
+    (parallel/seq_scan.py)."""
     out_dtype = u.dtype
     u_f, delta_f, A_f, B_f, C_f = _prep(u, delta, A, B, C, delta_bias, delta_softplus)
     bsz, dim, L = u_f.shape
@@ -199,7 +204,10 @@ def selective_scan_xla(
     # Padded tail has delta=0 -> a=1, b=0: the state passes through unchanged,
     # so the carry/last_state stays exact; padded y values are sliced off.
     body = jax.checkpoint(functools.partial(_chunk_body, A_g=A_g))
-    x0 = jnp.zeros((bsz, G, dg, n), jnp.float32)
+    if x_init is not None:
+        x0 = x_init.astype(jnp.float32).reshape(bsz, G, dg, n)
+    else:
+        x0 = jnp.zeros((bsz, G, dg, n), jnp.float32)
     last, ys = jax.lax.scan(body, x0, xs)  # ys: (nc, Lc, B, G, dg)
     y = ys.reshape(nc * Lc, bsz, G, dg)[:L]
     y = jnp.moveaxis(y, 0, -1).reshape(bsz, dim, L)
