@@ -51,6 +51,8 @@ class TrainConfig:
     seed: int = 1337
     snapshot_dir: Optional[str] = None
     log_every: int = 50
+    tensorboard: bool = False
+    resume: bool = False
 
 
 def fully_supervised_loss(model, variables, batch, rng, step):
@@ -159,12 +161,39 @@ class Trainer:
         arr = np.asarray(metrics)  # (cases, classes-1, 2)
         return float(arr[:, :, 0].mean())
 
+    # --- resume ----------------------------------------------------------
+    def try_resume(self) -> int:
+        """Restore the newest periodic checkpoint (params/batch_stats/
+        opt_state/step) from snapshot_dir; returns the restored step or 0.
+        The reference's restore_model latest-ckpt scan (util.py:96-131)."""
+        from mamba_unet_tpu.utils import latest_step, restore_checkpoint
+
+        cfg = self.config
+        if not (cfg.resume and cfg.snapshot_dir):
+            return 0
+        step = latest_step(cfg.snapshot_dir)
+        if step is None:
+            return 0
+        target = {"params": self.state.params,
+                  "batch_stats": self.state.batch_stats,
+                  "opt_state": self.state.opt_state,
+                  "step": self.state.step}
+        restored = restore_checkpoint(cfg.snapshot_dir, step, target)
+        self.state = self.state.replace(**restored)
+        log.info("resumed from %s @ step %d", cfg.snapshot_dir, step)
+        return step
+
     # --- the loop ------------------------------------------------------
     def fit(self, train_loader, val_dataset=None) -> Dict[str, Any]:
         cfg = self.config
         best_dice = 0.0
         history = []
-        it = 0
+        it = self.try_resume()
+        tb = None
+        if cfg.tensorboard and cfg.snapshot_dir:
+            from mamba_unet_tpu.utils.experiment import TensorboardLogger
+
+            tb = TensorboardLogger(f"{cfg.snapshot_dir}/log")
         t0 = time.time()
         for batch in train_loader:
             if it >= cfg.max_iterations:
@@ -183,10 +212,14 @@ class Trainer:
                     it, loss, lr, it / (time.time() - t0),
                 )
                 history.append({"iter": it, "loss": loss})
+                if tb is not None:
+                    tb.scalars(it, {"info/total_loss": loss, "info/lr": lr})
             if val_dataset is not None and it % cfg.eval_every == 0:
                 dice = self.evaluate(val_dataset)
                 log.info("iter %d val mean dice %.4f (best %.4f)", it, dice, best_dice)
                 history.append({"iter": it, "val_dice": dice})
+                if tb is not None:
+                    tb.scalars(it, {"info/val_mean_dice": dice})
                 if dice > best_dice:
                     best_dice = dice
                     if cfg.snapshot_dir:
@@ -200,6 +233,10 @@ class Trainer:
                 save_checkpoint(
                     cfg.snapshot_dir, it,
                     {"params": self.state.params,
-                     "batch_stats": self.state.batch_stats},
+                     "batch_stats": self.state.batch_stats,
+                     "opt_state": self.state.opt_state,
+                     "step": self.state.step},
                 )
+        if tb is not None:
+            tb.close()
         return {"best_dice": best_dice, "iterations": it, "history": history}
