@@ -13,6 +13,8 @@ from mamba_unet_tpu.models.mamba_lm import MambaLMHeadModel
 from mamba_unet_tpu.models.attention_unet import AttentionUNet3D
 from mamba_unet_tpu.models.unetr import UNETR
 from mamba_unet_tpu.models.nnunet import GenericUNet
+from mamba_unet_tpu.models.magicnet_mask import VNetMagicMask
+from mamba_unet_tpu.models.misc_nets import FCDiscriminator, PreUNet, EffiUNet
 
 __all__ = [
     "VSSM",

@@ -22,6 +22,10 @@ _REGISTRY: Dict[str, Callable] = {}
 _LAZY: Dict[str, tuple] = {
     "ViM_seg": ("mamba_unet_tpu.models.vssm", "MambaUnet"),
     "mambaunet": ("mamba_unet_tpu.models.vssm", "MambaUnet"),
+    # mamba_2D_mask.py's MambaUnetMask is the identical wrapper
+    # (SURVEY §2.5); registered as an alias.
+    "MambaUnetMask": ("mamba_unet_tpu.models.vssm", "MambaUnet"),
+    "swinunetr": ("mamba_unet_tpu.models.swin_unetr", "SwinUNETR"),
 }
 
 
