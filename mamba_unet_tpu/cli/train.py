@@ -24,7 +24,13 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--model", type=str, default="unet")
     p.add_argument("--method", type=str, default="fully_supervised",
                    choices=["fully_supervised", "mean_teacher", "uamt",
-                            "cross_teaching"])
+                            "cross_teaching", "magicnet",
+                            "contrastive_consistency", "mask_pretrain"])
+    p.add_argument("--cfg", type=str, default=None,
+                   help="yaml model config (configs/*.yaml)")
+    p.add_argument("--opts", nargs="*", default=None,
+                   help="config overrides: KEY VALUE pairs")
+    p.add_argument("--cube_size", type=int, default=32)
     p.add_argument("--max_iterations", type=int, default=10000)
     p.add_argument("--batch_size", type=int, default=24)
     p.add_argument("--labeled_bs", type=int, default=8,
@@ -84,7 +90,18 @@ def main(argv=None) -> int:
     kwargs = {"num_classes": args.num_classes}
     if args.bf16:
         kwargs["dtype"] = jnp.bfloat16
-    model = net_factory(args.model, **kwargs)
+    if args.method in ("magicnet", "mask_pretrain"):
+        kwargs.update(cube_size=args.cube_size,
+                      patch_size=args.patch_size[0])
+    if args.cfg:
+        from mamba_unet_tpu.utils.config import build_model_from_config, get_config
+
+        model = build_model_from_config(
+            get_config(args.cfg, args.opts), num_classes=args.num_classes,
+            img_size=args.patch_size[0],
+        )
+    else:
+        model = net_factory(args.model, **kwargs)
 
     cfg = TrainConfig(
         base_lr=args.base_lr,
@@ -102,12 +119,25 @@ def main(argv=None) -> int:
     )
     val_ds = VolumeDataset(root, "val")
 
-    if args.method == "fully_supervised":
-        sampler = EpochShuffleSampler(len(train_ds), cfg.batch_size, seed=args.seed)
-        trainer = Trainer(model, cfg)
-    else:
-        from mamba_unet_tpu.train.methods import build_semi_method
+    cta = cta_transform = None
+    if args.method == "contrastive_consistency":
+        from mamba_unet_tpu.data.cta_transform import CTATransform
+        from mamba_unet_tpu.data.ctaugment import CTAugment
 
+        cta = CTAugment(seed=args.seed)
+        cta_transform = CTATransform(tuple(args.patch_size), cta,
+                                     seed=args.seed)
+        train_ds = SliceDataset(root, transform=cta_transform)
+
+    if args.method in ("fully_supervised", "mask_pretrain"):
+        sampler = EpochShuffleSampler(len(train_ds), cfg.batch_size, seed=args.seed)
+        if args.method == "mask_pretrain":
+            from mamba_unet_tpu.train.mask_pretrain import MaskPretrainTrainer
+
+            trainer = MaskPretrainTrainer(model, cfg, cube_size=args.cube_size)
+        else:
+            trainer = Trainer(model, cfg)
+    else:
         n_labeled = (
             patients_to_slices("ACDC", args.labeled_num)
             if not args.synthetic
@@ -121,10 +151,30 @@ def main(argv=None) -> int:
             cfg.batch_size - args.labeled_bs,
             seed=args.seed,
         )
-        trainer = build_semi_method(args, model, cfg)
+        if args.method == "magicnet":
+            from mamba_unet_tpu.train.magicnet import MagicNetTrainer
+
+            trainer = MagicNetTrainer(model, cfg, labeled_bs=args.labeled_bs,
+                                      cube_size=args.cube_size)
+        elif args.method == "contrastive_consistency":
+            from mamba_unet_tpu.train.contrastive_cc import (
+                ContrastiveConsistencyTrainer,
+            )
+
+            trainer = ContrastiveConsistencyTrainer(
+                model, cfg, labeled_bs=args.labeled_bs,
+            )
+        else:
+            from mamba_unet_tpu.train.methods import build_semi_method
+
+            trainer = build_semi_method(args, model, cfg)
 
     loader = Loader(train_ds, sampler)
-    result = trainer.fit(loader, val_ds)
+    if args.method == "contrastive_consistency":
+        result = trainer.fit(loader, val_ds, cta=cta,
+                             cta_transform=cta_transform)
+    else:
+        result = trainer.fit(loader, val_ds)
     logging.info(
         "done: %d iterations, best val dice %.4f",
         result["iterations"], result["best_dice"],
