@@ -65,8 +65,9 @@ def _cap_chunk(chunk: int, L: int, n: int, dgt: int) -> int:
     budget = 8 * 1024 * 1024
     per_step = 5 * n * dgt * 4
     cap = max(budget // per_step, 8)
-    # Mosaic: block sublane dim must be a multiple of 8
-    return max(8, (min(chunk, L, cap) // 8) * 8)
+    # Mosaic: block sublane dim must be a multiple of the sublane tile
+    # (8 for f32, 16 for bf16) — use 16 so both dtypes are valid
+    return max(16, (min(chunk, L, cap) // 16) * 16)
 
 
 def supported(u, A, B, return_last_state) -> bool:
@@ -113,12 +114,12 @@ def _fwd_kernel(
         state_ref[:] = jnp.zeros_like(state_ref)
 
     A = A_ref[0]                       # (N, dgt)
-    u = u_ref[0, 0]                    # (Lc, dgt)
-    raw = d_ref[0, 0] + db_ref[0]      # (Lc, dgt)
+    u = u_ref[0, 0].astype(jnp.float32)          # (Lc, dgt)
+    raw = d_ref[0, 0].astype(jnp.float32) + db_ref[0]
     dlt = jax.nn.softplus(raw) if softplus else raw
     du = dlt * u                       # (Lc, dgt)
     a_ref[:] = jnp.exp(dlt[:, None, :] * A[None])            # (Lc, N, dgt)
-    Bc = B_ref[0, 0]                   # (Lc, N)
+    Bc = B_ref[0, 0].astype(jnp.float32)         # (Lc, N)
     xs_ref[:] = Bc[:, :, None] * du[:, None, :]              # b into xs (reused)
 
     cs_ref[0, 0, 0, 0] = state_ref[:]  # entry state of this chunk
@@ -130,9 +131,9 @@ def _fwd_kernel(
 
     state_ref[:] = jax.lax.fori_loop(0, Lc, body, state_ref[:])
 
-    Cc = C_ref[0, 0]                   # (Lc, N)
+    Cc = C_ref[0, 0].astype(jnp.float32)         # (Lc, N)
     y = jnp.sum(Cc[:, :, None] * xs_ref[:], axis=1)          # (Lc, dgt)
-    y_ref[0, 0] = y + Dsk_ref[0] * u
+    y_ref[0, 0] = (y + Dsk_ref[0] * u).astype(y_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -176,14 +177,14 @@ def _bwd_kernel(
         ddb_ref[:] = jnp.zeros_like(ddb_ref)
 
     A = A_ref[0]
-    u = u_ref[0, 0]
-    raw = d_ref[0, 0] + db_ref[0]
+    u = u_ref[0, 0].astype(jnp.float32)
+    raw = d_ref[0, 0].astype(jnp.float32) + db_ref[0]
     dlt = jax.nn.softplus(raw) if softplus else raw
     du_in = dlt * u
     a_ref[:] = jnp.exp(dlt[:, None, :] * A[None])
-    Bc = B_ref[0, 0]
-    Cc = C_ref[0, 0]
-    g = g_ref[0, 0]                      # (Lc, dgt)
+    Bc = B_ref[0, 0].astype(jnp.float32)
+    Cc = C_ref[0, 0].astype(jnp.float32)
+    g = g_ref[0, 0].astype(jnp.float32)  # (Lc, dgt)
 
     # --- recompute within-chunk forward from the saved entry state ---
     xs_ref[:] = Bc[:, :, None] * du_in[:, None, :]   # b, overwritten below
@@ -219,10 +220,10 @@ def _bwd_kernel(
     dd_total = dd_a + ddu * u
     if softplus:
         dd_total = dd_total * jax.nn.sigmoid(raw)
-    dd_ref[0, 0] = dd_total
-    du_ref[0, 0] = ddu * dlt + Dsk_ref[0] * g
-    dB_ref[0, 0] = jnp.sum(e * du_in[:, None, :], axis=2)   # (Lc, N)
-    dC_ref[0, 0] = jnp.sum(xs * g[:, None, :], axis=2)      # (Lc, N)
+    dd_ref[0, 0] = dd_total.astype(dd_ref.dtype)
+    du_ref[0, 0] = (ddu * dlt + Dsk_ref[0] * g).astype(du_ref.dtype)
+    dB_ref[0, 0] = jnp.sum(e * du_in[:, None, :], axis=2).astype(dB_ref.dtype)
+    dC_ref[0, 0] = jnp.sum(xs * g[:, None, :], axis=2).astype(dC_ref.dtype)
     dA_ref[0, 0] += jnp.sum(eaxp * dlt[:, None, :], axis=0)  # (N, dgt)
     dD_ref[0, 0, 0] += jnp.sum(g * u, axis=0)
     ddb_ref[0, 0, 0] += jnp.sum(dd_total, axis=0)
@@ -285,7 +286,7 @@ def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
             ),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, G, Lp, dg), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, G, Lp, dg), u.dtype),
             jax.ShapeDtypeStruct((bsz, G, DT, nc, n, dgt), jnp.float32),
         ],
         scratch_shapes=[
@@ -317,7 +318,7 @@ def _scan_core_bwd(softplus, chunk, interpret, res, gy):
     delta_p = _pad_L(delta, Lp)
     Bm_p = _pad_L(Bm, Lp)
     Cm_p = _pad_L(Cm, Lp)
-    gy_p = _pad_L(gy.astype(jnp.float32), Lp)
+    gy_p = _pad_L(gy.astype(u.dtype), Lp)
 
     grid = (bsz, G, DT, nc)
 
@@ -351,10 +352,10 @@ def _scan_core_bwd(softplus, chunk, interpret, res, gy):
             pl.BlockSpec((1, 1, 1, dgt), lambda b, g, dt, ck: (b, g * DT + dt, 0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bsz, G, Lp, dg), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, G, Lp, dg), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, G, Lp, n), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, G, Lp, n), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, G, Lp, dg), u.dtype),
+            jax.ShapeDtypeStruct((bsz, G, Lp, dg), u.dtype),
+            jax.ShapeDtypeStruct((bsz, G, Lp, n), Bm.dtype),
+            jax.ShapeDtypeStruct((bsz, G, Lp, n), Bm.dtype),
             jax.ShapeDtypeStruct((bsz, G * DT, n, dgt), jnp.float32),
             jax.ShapeDtypeStruct((bsz, G * DT, 1, dgt), jnp.float32),
             jax.ShapeDtypeStruct((bsz, G * DT, 1, dgt), jnp.float32),
@@ -408,11 +409,15 @@ def selective_scan_pallas(
     n = A.shape[1]
     dg = d // G
 
+    # bf16 inputs stream through HBM as bf16 (half the scan's memory
+    # traffic); the kernel casts to fp32 in VMEM. Anything else runs fp32.
+    io = jnp.bfloat16 if u.dtype == jnp.bfloat16 else jnp.float32
+
     # (B, D, L) -> time-major grouped (B, G, L, dg)
-    u_g = u.astype(jnp.float32).reshape(bsz, G, dg, L).transpose(0, 1, 3, 2)
-    d_g = delta.astype(jnp.float32).reshape(bsz, G, dg, L).transpose(0, 1, 3, 2)
-    Bm = B.astype(jnp.float32).transpose(0, 1, 3, 2)  # (B, G, L, N)
-    Cm = C.astype(jnp.float32).transpose(0, 1, 3, 2)
+    u_g = u.astype(io).reshape(bsz, G, dg, L).transpose(0, 1, 3, 2)
+    d_g = delta.astype(io).reshape(bsz, G, dg, L).transpose(0, 1, 3, 2)
+    Bm = B.astype(io).transpose(0, 1, 3, 2)  # (B, G, L, N)
+    Cm = C.astype(io).transpose(0, 1, 3, 2)
     A_t = A.astype(jnp.float32).reshape(G, dg, n).transpose(0, 2, 1)  # (G, N, dg)
     Dsk = (
         D.astype(jnp.float32).reshape(G, 1, dg)

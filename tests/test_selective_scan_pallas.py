@@ -96,3 +96,29 @@ def test_pallas_vision_shapes_fwd(rng):
                                 chunk=16, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_pallas_bf16_io(rng):
+    """bf16 inputs stream as bf16 but the state math stays fp32: outputs
+    must track the fp32 reference within bf16 tolerance."""
+    u, delta, A, B, C, D, db = make_inputs(rng, L=64)
+    want = selective_scan_ref(u, delta, A, B, C, D, None, db, True)
+    got = selective_scan_pallas(
+        u.astype(jnp.bfloat16), delta.astype(jnp.bfloat16), A,
+        B.astype(jnp.bfloat16), C.astype(jnp.bfloat16), D, None, db, True,
+        chunk=32, interpret=True,
+    )
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=0.1, atol=0.15)
+
+    # gradients flow and are finite in bf16
+    def loss(u_, d_):
+        return jnp.sum(selective_scan_pallas(
+            u_, d_, A, B.astype(jnp.bfloat16), C.astype(jnp.bfloat16),
+            D, None, db, True, chunk=32, interpret=True).astype(jnp.float32))
+
+    gu, gd = jax.grad(loss, argnums=(0, 1))(
+        u.astype(jnp.bfloat16), delta.astype(jnp.bfloat16))
+    assert gu.dtype == jnp.bfloat16
+    assert np.isfinite(np.asarray(gu, np.float32)).all()
