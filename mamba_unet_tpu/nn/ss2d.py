@@ -124,30 +124,55 @@ class SS2D(nn.Module):
         A_logs = self.param("A_logs", _a_log_init(K * d_inner, n), (K * d_inner, n))
         Ds = self.param("Ds", nn.initializers.ones, (K * d_inner,))
 
-        xs = cross_scan(xx)  # (B, K, d_inner, L)
-        x_dbl = jnp.einsum("bkdl,kcd->bkcl", xs, x_proj_weight.astype(xs.dtype))
-        dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + n], axis=2)
-        dts = jnp.einsum("bkrl,kdr->bkdl", dts, dt_projs_weight.astype(dts.dtype))
-
-        u = xs.reshape(bsz, K * d_inner, L)
-        delta = dts.reshape(bsz, K * d_inner, L)
         A = -jnp.exp(A_logs.astype(jnp.float32))  # (K*d_inner, n)
+        from mamba_unet_tpu.ops import selective_scan_pallas as ssp
+        from mamba_unet_tpu.ops.cross_scan import cross_merge_tm, cross_scan_tm
 
-        out = selective_scan(
-            u,
-            delta,
-            A,
-            Bs,  # (B, K, n, L): K plays the group axis G
-            Cs,
-            D=Ds.astype(jnp.float32),
-            z=None,
-            delta_bias=dt_projs_bias.reshape(-1).astype(jnp.float32),
-            delta_softplus=True,
-            chunk=self.scan_chunk,
-            implementation=self.scan_impl,
-        )  # (B, K*d_inner, L) — selective_scan promotes to fp32 internally
-        ys = out.reshape(bsz, K, d_inner, L)
-        y = cross_merge(ys, H, W)  # (B, H, W, d_inner)
+        use_tm = self.scan_impl in ("auto", "pallas") and (
+            self.scan_impl == "pallas" or ssp.on_tpu()
+        )
+        if use_tm:
+            # time-major fast path: channels-last maps feed the Pallas kernel
+            # without any (B, 4D, L) transposes
+            xs = cross_scan_tm(xx)  # (B, K, L, d_inner)
+            x_dbl = jnp.einsum(
+                "bkld,kcd->bklc", xs, x_proj_weight.astype(xs.dtype)
+            )
+            dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + n], axis=3)
+            dts = jnp.einsum(
+                "bklr,kdr->bkld", dts, dt_projs_weight.astype(dts.dtype)
+            )
+            ys = ssp.selective_scan_pallas_tm(
+                xs, dts, A, Bs, Cs,
+                D=Ds.astype(jnp.float32),
+                delta_bias=dt_projs_bias.reshape(-1).astype(jnp.float32),
+                delta_softplus=True,
+                chunk=self.scan_chunk,
+            )  # (B, K, L, d_inner)
+            y = cross_merge_tm(ys.astype(jnp.float32), H, W)
+        else:
+            xs = cross_scan(xx)  # (B, K, d_inner, L)
+            x_dbl = jnp.einsum(
+                "bkdl,kcd->bkcl", xs, x_proj_weight.astype(xs.dtype)
+            )
+            dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + n], axis=2)
+            dts = jnp.einsum(
+                "bkrl,kdr->bkdl", dts, dt_projs_weight.astype(dts.dtype)
+            )
+            out = selective_scan(
+                xs.reshape(bsz, K * d_inner, L),
+                dts.reshape(bsz, K * d_inner, L),
+                A,
+                Bs,  # (B, K, n, L): K plays the group axis G
+                Cs,
+                D=Ds.astype(jnp.float32),
+                z=None,
+                delta_bias=dt_projs_bias.reshape(-1).astype(jnp.float32),
+                delta_softplus=True,
+                chunk=self.scan_chunk,
+                implementation=self.scan_impl,
+            )  # (B, K*d_inner, L) — promoted to fp32 internally
+            y = cross_merge(out.reshape(bsz, K, d_inner, L), H, W)
         y = nn.LayerNorm(dtype=self.dtype, name="out_norm")(y.astype(self.dtype))
 
         y = y * nn.silu(z)

@@ -384,6 +384,52 @@ def _scan_core_bwd(softplus, chunk, interpret, res, gy):
 _scan_core.defvjp(_scan_core_fwd, _scan_core_bwd)
 
 
+def _prep_params(A, D, delta_bias, G, dg, n):
+    A_t = A.astype(jnp.float32).reshape(G, dg, n).transpose(0, 2, 1)  # (G, N, dg)
+    Dsk = (
+        D.astype(jnp.float32).reshape(G, 1, dg)
+        if D is not None
+        else jnp.zeros((G, 1, dg), jnp.float32)
+    )
+    db = (
+        delta_bias.astype(jnp.float32).reshape(G, 1, dg)
+        if delta_bias is not None
+        else jnp.zeros((G, 1, dg), jnp.float32)
+    )
+    return A_t, Dsk, db
+
+
+def selective_scan_pallas_tm(
+    u_tm,       # (B, G, L, dg) — already time-major
+    delta_tm,   # (B, G, L, dg)
+    A,          # (D, N) with D = G*dg
+    B_tm,       # (B, G, L, N)
+    C_tm,       # (B, G, L, N)
+    D=None,
+    z_tm=None,
+    delta_bias=None,
+    delta_softplus: bool = False,
+    chunk: int = DEFAULT_CHUNK,
+    interpret: Optional[bool] = None,
+):
+    """Time-major entry: skips the (B, D, L) <-> (B, G, L, dg) transposes —
+    the fast path for SS2D, whose channels-last activations are already
+    time-major for the row-scan directions. Returns y (B, G, L, dg)."""
+    if interpret is None:
+        interpret = not on_tpu()
+    bsz, G, L, dg = u_tm.shape
+    n = A.shape[1]
+    io = jnp.bfloat16 if u_tm.dtype == jnp.bfloat16 else jnp.float32
+    A_t, Dsk, db = _prep_params(A, D, delta_bias, G, dg, n)
+    y = _scan_core(u_tm.astype(io), delta_tm.astype(io), A_t,
+                   B_tm.astype(io), C_tm.astype(io), Dsk, db,
+                   delta_softplus, chunk, interpret)
+    if z_tm is not None:
+        y = (y.astype(jnp.float32)
+             * jax.nn.silu(z_tm.astype(jnp.float32))).astype(y.dtype)
+    return y
+
+
 def selective_scan_pallas(
     u,
     delta,
@@ -418,19 +464,10 @@ def selective_scan_pallas(
     d_g = delta.astype(io).reshape(bsz, G, dg, L).transpose(0, 1, 3, 2)
     Bm = B.astype(io).transpose(0, 1, 3, 2)  # (B, G, L, N)
     Cm = C.astype(io).transpose(0, 1, 3, 2)
-    A_t = A.astype(jnp.float32).reshape(G, dg, n).transpose(0, 2, 1)  # (G, N, dg)
-    Dsk = (
-        D.astype(jnp.float32).reshape(G, 1, dg)
-        if D is not None
-        else jnp.zeros((G, 1, dg), jnp.float32)
+    y = selective_scan_pallas_tm(
+        u_g, d_g, A, Bm, Cm, D, None, delta_bias, delta_softplus, chunk,
+        interpret,
     )
-    db = (
-        delta_bias.astype(jnp.float32).reshape(G, 1, dg)
-        if delta_bias is not None
-        else jnp.zeros((G, 1, dg), jnp.float32)
-    )
-
-    y = _scan_core(u_g, d_g, A_t, Bm, Cm, Dsk, db, delta_softplus, chunk, interpret)
     y = y.transpose(0, 1, 3, 2).reshape(bsz, d, L)
     if z is not None:
         y = y * jax.nn.silu(z.astype(jnp.float32))

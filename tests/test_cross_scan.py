@@ -53,3 +53,43 @@ def test_causal_conv1d_update_consistency(rng):
     for t in range(L):
         out_t, state = causal_conv1d_update(x[:, :, t], state, weight, bias)
         np.testing.assert_allclose(out_t, full[:, :, t], rtol=1e-5, atol=1e-5)
+
+
+def test_cross_scan_tm_matches_cross_scan(rng):
+    """Time-major variant must equal the (B,K,D,L) variant transposed."""
+    import jax.numpy as jnp
+
+    from mamba_unet_tpu.ops.cross_scan import (
+        cross_merge,
+        cross_merge_tm,
+        cross_scan,
+        cross_scan_tm,
+    )
+
+    x = jnp.asarray(rng.normal(size=(2, 5, 7, 3)), jnp.float32)
+    a = np.asarray(cross_scan(x))                  # (B, 4, D, L)
+    b = np.asarray(cross_scan_tm(x))               # (B, 4, L, D)
+    np.testing.assert_array_equal(b.transpose(0, 1, 3, 2), a)
+
+    ys = jnp.asarray(rng.normal(size=(2, 4, 3, 35)), jnp.float32)
+    m1 = np.asarray(cross_merge(ys, 5, 7))
+    m2 = np.asarray(cross_merge_tm(ys.transpose(0, 1, 3, 2), 5, 7))
+    np.testing.assert_allclose(m2, m1, rtol=1e-6)
+
+
+def test_ss2d_tm_path_matches_xla_path(rng):
+    """SS2D with the forced-pallas time-major path (interpret mode) must
+    match the XLA path numerically."""
+    import jax
+    import jax.numpy as jnp
+
+    from mamba_unet_tpu.nn.ss2d import SS2D
+
+    x = jnp.asarray(rng.normal(size=(1, 6, 8, 12)), jnp.float32)
+    m_x = SS2D(d_model=12, d_state=4, scan_impl="xla")
+    m_p = SS2D(d_model=12, d_state=4, scan_impl="pallas")
+    params = m_x.init(jax.random.key(0), x)
+    y_x = m_x.apply(params, x)
+    y_p = m_p.apply(params, x)
+    np.testing.assert_allclose(np.asarray(y_p), np.asarray(y_x),
+                               rtol=2e-4, atol=2e-4)
