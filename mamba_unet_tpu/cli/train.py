@@ -46,6 +46,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--consistency_rampup", type=float, default=200.0)
     p.add_argument("--snapshot_dir", type=str, default=None)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
+    p.add_argument("--drop_path", type=float, default=None,
+                   help="stochastic depth rate override (ViM/ViT; the "
+                        "reference default 0.2 assumes ImageNet warm-start — "
+                        "use 0.0 when training from scratch)")
+    p.add_argument("--pretrained_ckpt", type=str, default=None,
+                   help="torch .pth to convert and load (utils.convert)")
     p.add_argument("--synthetic", action="store_true",
                    help="generate+use a synthetic ACDC-format dataset (smoke/bench)")
     return p
@@ -90,6 +96,10 @@ def main(argv=None) -> int:
     kwargs = {"num_classes": args.num_classes}
     if args.bf16:
         kwargs["dtype"] = jnp.bfloat16
+    if args.drop_path is not None and args.model in ("ViM_seg", "ViT_seg",
+                                                     "mambaunet",
+                                                     "MambaUnetMask"):
+        kwargs["drop_path_rate"] = args.drop_path
     if args.method in ("magicnet", "mask_pretrain"):
         kwargs.update(cube_size=args.cube_size,
                       patch_size=args.patch_size[0])
@@ -168,6 +178,27 @@ def main(argv=None) -> int:
             from mamba_unet_tpu.train.methods import build_semi_method
 
             trainer = build_semi_method(args, model, cfg)
+
+    if args.pretrained_ckpt:
+        # the reference's load_from warm-start (vision_mamba.py:48-83)
+        from mamba_unet_tpu.utils.convert import (
+            convert_vssm,
+            load_torch_checkpoint,
+        )
+
+        sd = load_torch_checkpoint(args.pretrained_ckpt)
+        params = dict(trainer.state.params)
+        root_key = next((k for k in ("vssm", "swin_unet") if k in params), None)
+        sub = params[root_key] if root_key else params
+        new_sub, report = convert_vssm(sd, sub, mirror_decoder=True)
+        logging.info("pretrained: loaded %d tensors, %d missing, %d shape-skipped",
+                     len(report["loaded"]), len(report["missing"]),
+                     len(report["shape_skipped"]))
+        if root_key:
+            params[root_key] = new_sub
+        else:
+            params = new_sub
+        trainer.state = trainer.state.replace(params=params)
 
     loader = Loader(train_ds, sampler)
     if args.method == "contrastive_consistency":
