@@ -131,7 +131,39 @@ class SS2D(nn.Module):
         use_tm = self.scan_impl in ("auto", "pallas") and (
             self.scan_impl == "pallas" or ssp.on_tpu()
         )
-        if use_tm:
+        if self.scan_impl == "seq_sharded":
+            # sequence parallelism: L sharded over the mesh axis provided by
+            # parallel.seq_scan.sequence_sharding(...)
+            from mamba_unet_tpu.parallel.seq_scan import (
+                current_sequence_sharding,
+                selective_scan_seq_sharded,
+            )
+
+            ctx = current_sequence_sharding()
+            assert ctx is not None, (
+                "scan_impl='seq_sharded' requires a sequence_sharding(mesh) "
+                "context"
+            )
+            mesh, axis = ctx
+            xs = cross_scan(xx)
+            x_dbl = jnp.einsum(
+                "bkdl,kcd->bkcl", xs, x_proj_weight.astype(xs.dtype)
+            )
+            dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + n], axis=2)
+            dts = jnp.einsum(
+                "bkrl,kdr->bkdl", dts, dt_projs_weight.astype(dts.dtype)
+            )
+            out = selective_scan_seq_sharded(
+                xs.reshape(bsz, K * d_inner, L).astype(jnp.float32),
+                dts.reshape(bsz, K * d_inner, L).astype(jnp.float32),
+                A, Bs.astype(jnp.float32), Cs.astype(jnp.float32),
+                D=Ds.astype(jnp.float32),
+                delta_bias=dt_projs_bias.reshape(-1).astype(jnp.float32),
+                delta_softplus=True, mesh=mesh, axis=axis,
+                chunk=self.scan_chunk,
+            )
+            y = cross_merge(out.reshape(bsz, K, d_inner, L), H, W)
+        elif use_tm:
             # time-major fast path: channels-last maps feed the Pallas kernel
             # without any (B, 4D, L) transposes
             xs = cross_scan_tm(xx)  # (B, K, L, d_inner)

@@ -32,6 +32,42 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mamba_unet_tpu.ops.selective_scan import _prep, _finalize, selective_scan_xla
 
 
+_SEQ_CTX = None
+
+
+@functools.wraps(lambda: None)
+def _noop():  # pragma: no cover
+    pass
+
+
+class sequence_sharding:
+    """Context manager enabling sequence-parallel scans inside models:
+
+        with sequence_sharding(mesh, "seq"):
+            y = model.apply(params, x)   # SS2D(scan_impl="seq_sharded")
+
+    (flax modules can't take a Mesh as a hashable field, so the mesh rides
+    a context variable.)"""
+
+    def __init__(self, mesh: Mesh, axis: str = "seq"):
+        self.ctx = (mesh, axis)
+
+    def __enter__(self):
+        global _SEQ_CTX
+        self._prev = _SEQ_CTX
+        _SEQ_CTX = self.ctx
+        return self
+
+    def __exit__(self, *exc):
+        global _SEQ_CTX
+        _SEQ_CTX = self._prev
+        return False
+
+
+def current_sequence_sharding():
+    return _SEQ_CTX
+
+
 def _local_shard_scan(u, delta, A, B, C, D, z, delta_bias, delta_softplus,
                       axis: str, chunk: int):
     """Runs inside shard_map: inputs carry the LOCAL L shard."""

@@ -1,0 +1,50 @@
+"""LM checkpoint converter: fabricated HF-style state dict round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mamba_unet_tpu.models.mamba_lm import MambaLMHeadModel
+from mamba_unet_tpu.utils.convert_lm import (
+    convert_mamba_lm,
+    lm_torch_key_for,
+    _transform,
+)
+
+
+def _inverse(v, kind):
+    if kind == "linear":
+        return v.T
+    if kind == "conv1d":
+        return v[:, None, :]
+    return v
+
+
+def test_lm_roundtrip():
+    model = MambaLMHeadModel(vocab_size=48, d_model=16, n_layer=2, d_state=4)
+    ids = jnp.zeros((1, 4), jnp.int32)
+    params = model.init(jax.random.key(0), ids)["params"]
+
+    sd, unmapped = {}, []
+    for keypath, leaf in jax.tree_util.tree_flatten_with_path(params)[0]:
+        path = tuple(k.key for k in keypath)
+        m = lm_torch_key_for(path)
+        if m is None:
+            unmapped.append("/".join(path))
+            continue
+        val = np.asarray(leaf)
+        if path[-1] == "embedding":
+            val = val[:48]  # simulate the unpadded HF vocab
+        sd[m[0]] = _inverse(val, m[1]) + 1.0
+    assert unmapped == [], unmapped
+
+    new, report = convert_mamba_lm(sd, params)
+    assert report["missing"] == []
+    emb = np.asarray(new["embedding"]["embedding"])
+    np.testing.assert_allclose(emb[:48],
+                               np.asarray(params["embedding"]["embedding"])[:48] + 1.0)
+    np.testing.assert_array_equal(emb[48:], 0)  # padded rows zeroed
+
+    # converted params must run
+    logits = model.apply({"params": new}, ids)
+    assert np.isfinite(np.asarray(logits)).all()

@@ -61,3 +61,21 @@ def test_seq_sharded_grad(rng):
     for a, b in zip(g_ref, g_sh):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=3e-3, atol=3e-3)
+
+
+def test_ss2d_seq_sharded_matches_xla(rng):
+    """SS2D running its scan sequence-parallel over 8 devices must match the
+    single-device XLA path."""
+    from mamba_unet_tpu.nn.ss2d import SS2D
+    from mamba_unet_tpu.parallel.seq_scan import sequence_sharding
+
+    mesh = make_mesh(devices=jax.devices()[:8], axes=("seq",))
+    x = jnp.asarray(rng.normal(size=(1, 8, 8, 12)), jnp.float32)  # L=64
+    m_x = SS2D(d_model=12, d_state=4, scan_impl="xla")
+    m_s = SS2D(d_model=12, d_state=4, scan_impl="seq_sharded", scan_chunk=8)
+    params = m_x.init(jax.random.key(0), x)
+    want = m_x.apply(params, x)
+    with sequence_sharding(mesh, "seq"):
+        got = m_s.apply(params, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
