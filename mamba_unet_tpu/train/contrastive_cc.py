@@ -61,7 +61,15 @@ class ContrastiveConsistencyTrainer(Trainer):
                  labeled_bs: int = 12, conf_thresh: float = 0.95,
                  consistency1: float = 1.0, consistency2: float = 0.1,
                  consistency_rampup: float = 200.0, ema_decay: float = 0.999,
-                 projector_ndf: int = 8, **kw):
+                 projector_ndf: int = 8, mask_recovery: bool = False,
+                 mask_cube_size: int = 32, mask_weight: float = 1.0, **kw):
+        # mask_recovery: the _mask script variant
+        # (train_Semi_Contrastive_Consistency_mask.py:266-269) — adds
+        # shuffled+masked recovery MSE on model1's mix-out head; requires a
+        # model with forward_mix_pos_mask (e.g. magicnet_2D_mask).
+        self.mask_recovery = mask_recovery
+        self.mask_cube_size = mask_cube_size
+        self.mask_weight = mask_weight
         self.labeled_bs = labeled_bs
         self.conf_thresh = conf_thresh
         self.consistency1 = consistency1
@@ -71,6 +79,21 @@ class ContrastiveConsistencyTrainer(Trainer):
         self.model2 = model2 if model2 is not None else model
         super().__init__(model, config, **kw)
         cfg = config
+        if mask_recovery:
+            # mask models keep extra heads untouched by __call__ — re-init
+            # through init_all so every parameter exists
+            sample0 = jnp.zeros((cfg.batch_size, *cfg.patch_size, 1),
+                                jnp.float32)
+            variables = jax.jit(
+                lambda r, x: model.init(r, x, method="init_all")
+            )(jax.random.key(cfg.seed), sample0)
+            self.state = TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", {}),
+                opt_state=self.tx.init(variables["params"]),
+                tx=self.tx,
+            )
         sample = jnp.zeros((cfg.batch_size, *cfg.patch_size, 1), jnp.float32)
         proj_in = jnp.zeros(
             (cfg.batch_size, *cfg.patch_size, cfg.num_classes), jnp.float32
@@ -154,6 +177,37 @@ class ContrastiveConsistencyTrainer(Trainer):
             total = sup + w1 * contrast_l + w1 * unsup + w2 * contrast_u
             logs = {"loss_total": total, "loss_sup": sup, "loss_unsup": unsup,
                     "loss_contrast_l": contrast_l, "loss_contrast_u": contrast_u}
+
+            if self.mask_recovery:
+                # _mask variant: shuffle/mask recovery on model1's global
+                # embedding head (masked_loss.py via the mask MagicNet)
+                from mamba_unet_tpu.objectives.masked import (
+                    make_masked_input,
+                    make_shuffled_input,
+                    recovery_mse,
+                )
+
+                r_s, r_m = jax.random.split(rngs[4])
+                v1 = cc.s1.variables(params1)
+
+                def mix_head(x, pos_embed=None, vis=None):
+                    out, _ = self.model.apply(
+                        v1, x, pos_embed, vis, method="forward_mix_pos_mask",
+                        deterministic=False, mutable=["batch_stats"],
+                        rngs={"dropout": rngs[5]},
+                    )
+                    return out
+
+                clean = mix_head(weak)
+                shuffled, perms = make_shuffled_input(r_s, weak,
+                                                      self.mask_cube_size)
+                masked, vis = make_masked_input(r_m, weak,
+                                                self.mask_cube_size)
+                rec = recovery_mse(clean, mix_head(
+                    shuffled, pos_embed=perms.astype(jnp.float32)))
+                rec = rec + recovery_mse(clean, mix_head(masked, vis=vis))
+                total = total + self.mask_weight * rec
+                logs = dict(logs, loss_total=total, loss_mask_recovery=rec)
             return total, (bs1, bs2, logs)
 
         (loss, (bs1, bs2, logs)), grads = jax.value_and_grad(

@@ -54,3 +54,26 @@ def test_cc_trainer_steps(tmp_path):
         jax.tree_util.tree_leaves(tr.cc.p1_params),
         jax.tree_util.tree_leaves(tr.cc.p3.params))]
     assert max(diffs) > 0
+
+
+def test_cc_mask_variant(tmp_path):
+    """The _mask script variant: CC + shuffle/mask recovery on the mask net."""
+    from mamba_unet_tpu.models import net_factory
+
+    root = make_synthetic_acdc(str(tmp_path / "b"), n_train_cases=2,
+                               slices_per_case=8, n_val_cases=0, size=32)
+    cta = CTAugment(seed=2)
+    tf = CTATransform((32, 32), cta, seed=2)
+    ds = SliceDataset(root, transform=tf)
+    sampler = TwoStreamBatchSampler(range(8), range(8, 16), batch_size=8,
+                                    secondary_batch_size=4, seed=0)
+    cfg = TrainConfig(base_lr=0.05, max_iterations=3, batch_size=8,
+                      patch_size=(32, 32), num_classes=4, log_every=1,
+                      eval_every=10_000, seed=0)
+    model = net_factory("magicnet_2D_mask", num_classes=4, cube_size=16,
+                        patch_size=32, n_filters=4)
+    tr = ContrastiveConsistencyTrainer(model, cfg, labeled_bs=4,
+                                       mask_recovery=True, mask_cube_size=16)
+    result = tr.fit(Loader(ds, sampler), cta=cta, cta_transform=tf)
+    assert result["iterations"] == 3
+    assert all(np.isfinite(h["loss"]) for h in result["history"] if "loss" in h)
