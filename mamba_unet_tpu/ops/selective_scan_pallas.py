@@ -8,15 +8,17 @@ This is the TPU replacement for the reference CUDA kernels
     x_t   = exp(delta_t*A) x_{t-1} + delta_t B_t u_t      (fp32 state)
     y_t   = <C_t, x_t> + D u_t
 
-Layout: time-major ``(B, G, L, dg)`` so each sequential step reads one
-sublane row; the hidden state ``(N, dg)`` keeps channels on lanes. The grid
-is ``(B, G, dg-tiles, L-chunks)`` with the L-chunk axis innermost — the TPU
-executes grid cells in order, so the fp32 state lives in a VMEM scratch
+Layout: time-major ``(B, G, L, dg)``. The grid is
+``(B-tiles, G, dg-tiles, L-chunks)`` with the L-chunk axis innermost — the
+TPU executes grid cells in order, so the fp32 state lives in a VMEM scratch
 carried across chunk cells exactly like the CUDA kernel's smem running
-prefix (fwd_kernel.cuh:236-253). Per chunk the input-dependent gates
+prefix (fwd_kernel.cuh:236-253). A TILE OF BATCHES shares each cell: the
+recurrence step then operates on a (btile, N, dgt) slab, amortizing the
+sequential loop's issue overhead across btile samples (the loop, not the
+vector work, dominates at small slabs). Per chunk the gates
 ``a = exp(delta*A)`` and ``b = delta*B*u`` are computed VECTORIZED into
-scratch, the recurrence itself is a minimal fori_loop of one FMA per step,
-and the output contraction ``y = sum_n C x`` is vectorized again.
+scratch, the recurrence is one fused multiply-add per step, and the output
+contraction ``y = sum_n C x`` is vectorized again.
 
 The backward (custom VJP) follows ``selective_scan_bwd_kernel.cuh``:
 the forward additionally saves each chunk's ENTRY state; the backward walks
@@ -25,8 +27,10 @@ runs the reverse scan  e_t = C_t g_t + a_{t+1} e_{t+1}  with the carry
 ``a_0 e_0`` handed to the previous chunk through scratch, and reduces all
 eight gradients in vectorized epilogue phases.
 
-The z-gate and the -exp(A_log) reparameterization stay OUTSIDE the kernel
-(plain XLA ops differentiated by autodiff).
+bf16 inputs stream through HBM as bf16 (half the traffic); all VMEM compute
+and the carried state stay fp32. The z-gate and the -exp(A_log)
+reparameterization stay OUTSIDE the kernel (plain XLA ops differentiated by
+autodiff).
 """
 
 from __future__ import annotations
@@ -40,6 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_CHUNK = 128
+_VMEM_BUDGET = 8 * 1024 * 1024
 
 
 def on_tpu() -> bool:
@@ -58,15 +63,32 @@ def _dg_tile(dg: int) -> Optional[int]:
     return None
 
 
-def _cap_chunk(chunk: int, L: int, n: int, dgt: int) -> int:
-    """Shrink the L-chunk so the backward's five (Lc, N, dgt) fp32 scratch
-    buffers stay within ~8 MB of VMEM (the v5e scoped-vmem limit is 16 MB and
-    the pipelined in/out blocks need headroom)."""
-    budget = 8 * 1024 * 1024
-    per_step = 5 * n * dgt * 4
-    cap = max(budget // per_step, 8)
-    # Mosaic: block sublane dim must be a multiple of the sublane tile
-    # (8 for f32, 16 for bf16) — use 16 so both dtypes are valid
+def _padded(n: int, dgt: int):
+    """Mosaic pads the last two dims to the (8, 128) fp32 tile — VMEM cost
+    accounting must use the PADDED sizes."""
+    return -(-n // 8) * 8, -(-dgt // 128) * 128
+
+
+def _pick_btile(bsz: int, n: int, dgt: int, n_scratch: int = 5) -> int:
+    """Largest batch tile (8/4/2/1 dividing bsz) whose scratch slabs fit the
+    VMEM budget at the minimum chunk of 16 steps."""
+    n_p, dgt_p = _padded(n, dgt)
+    for cand in (8, 4, 2, 1):
+        if bsz % cand:
+            continue
+        if n_scratch * 16 * cand * n_p * dgt_p * 4 <= _VMEM_BUDGET:
+            return cand
+    return 1
+
+
+def _cap_chunk(chunk: int, L: int, n: int, dgt: int, btile: int,
+               n_scratch: int = 5) -> int:
+    """Shrink the L-chunk so the (btile, Lc, N, dgt) fp32 scratch buffers
+    stay within the VMEM budget (v5e scoped vmem is 16 MB; the pipelined
+    in/out blocks need headroom). Sublane-tile multiple of 16 covers bf16."""
+    n_p, dgt_p = _padded(n, dgt)
+    per_step = n_scratch * btile * n_p * dgt_p * 4
+    cap = max(_VMEM_BUDGET // per_step, 16)
     return max(16, (min(chunk, L, cap) // 16) * 16)
 
 
@@ -94,15 +116,15 @@ def _fwd_kernel(
     A_ref,      # (1, N, dgt)
     db_ref,     # (1, 1, dgt)
     Dsk_ref,    # (1, 1, dgt)
-    u_ref,      # (1, 1, Lc, dgt)
-    d_ref,      # (1, 1, Lc, dgt)
-    B_ref,      # (1, 1, Lc, N)
-    C_ref,      # (1, 1, Lc, N)
-    y_ref,      # (1, 1, Lc, dgt) out
-    cs_ref,     # (1, 1, 1, 1, N, dgt) out: chunk ENTRY state
-    state_ref,  # scratch (N, dgt)
-    a_ref,      # scratch (Lc, N, dgt)
-    xs_ref,     # scratch (Lc, N, dgt)
+    u_ref,      # (bt, 1, Lc, dgt)
+    d_ref,      # (bt, 1, Lc, dgt)
+    B_ref,      # (bt, 1, Lc, N)
+    C_ref,      # (bt, 1, Lc, N)
+    y_ref,      # (bt, 1, Lc, dgt) out
+    cs_ref,     # (bt, 1, 1, 1, N, dgt) out: chunk ENTRY state
+    state_ref,  # scratch (bt, N, dgt)
+    a_ref,      # scratch (bt, Lc, N, dgt)
+    xs_ref,     # scratch (bt, Lc, N, dgt)
     *,
     softplus: bool,
     Lc: int,
@@ -113,27 +135,27 @@ def _fwd_kernel(
     def _():
         state_ref[:] = jnp.zeros_like(state_ref)
 
-    A = A_ref[0]                       # (N, dgt)
-    u = u_ref[0, 0].astype(jnp.float32)          # (Lc, dgt)
-    raw = d_ref[0, 0].astype(jnp.float32) + db_ref[0]
+    A = A_ref[0]                                     # (N, dgt)
+    u = u_ref[:, 0].astype(jnp.float32)              # (bt, Lc, dgt)
+    raw = d_ref[:, 0].astype(jnp.float32) + db_ref[0][None]
     dlt = jax.nn.softplus(raw) if softplus else raw
-    du = dlt * u                       # (Lc, dgt)
-    a_ref[:] = jnp.exp(dlt[:, None, :] * A[None])            # (Lc, N, dgt)
-    Bc = B_ref[0, 0].astype(jnp.float32)         # (Lc, N)
-    xs_ref[:] = Bc[:, :, None] * du[:, None, :]              # b into xs (reused)
+    du = dlt * u                                     # (bt, Lc, dgt)
+    a_ref[:] = jnp.exp(dlt[:, :, None, :] * A[None, None])   # (bt, Lc, N, dgt)
+    Bc = B_ref[:, 0].astype(jnp.float32)             # (bt, Lc, N)
+    xs_ref[:] = Bc[..., None] * du[:, :, None, :]    # b into xs (reused)
 
-    cs_ref[0, 0, 0, 0] = state_ref[:]  # entry state of this chunk
+    cs_ref[:, 0, 0, 0] = state_ref[:]                # entry state of the chunk
 
     def body(t, x):
-        x = a_ref[t] * x + xs_ref[t]
-        xs_ref[t] = x
+        x = a_ref[:, t] * x + xs_ref[:, t]           # (bt, N, dgt)
+        xs_ref[:, t] = x
         return x
 
     state_ref[:] = jax.lax.fori_loop(0, Lc, body, state_ref[:])
 
-    Cc = C_ref[0, 0].astype(jnp.float32)         # (Lc, N)
-    y = jnp.sum(Cc[:, :, None] * xs_ref[:], axis=1)          # (Lc, dgt)
-    y_ref[0, 0] = (y + Dsk_ref[0] * u).astype(y_ref.dtype)
+    Cc = C_ref[:, 0].astype(jnp.float32)             # (bt, Lc, N)
+    y = jnp.sum(Cc[..., None] * xs_ref[:], axis=2)   # (bt, Lc, dgt)
+    y_ref[:, 0] = (y + Dsk_ref[0][None] * u).astype(y_ref.dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -145,24 +167,24 @@ def _bwd_kernel(
     A_ref,      # (1, N, dgt)
     db_ref,     # (1, 1, dgt)
     Dsk_ref,    # (1, 1, dgt)
-    u_ref,      # (1, 1, Lc, dgt)
-    d_ref,      # (1, 1, Lc, dgt)
-    B_ref,      # (1, 1, Lc, N)
-    C_ref,      # (1, 1, Lc, N)
-    cs_ref,     # (1, 1, 1, 1, N, dgt) saved entry state
-    g_ref,      # (1, 1, Lc, dgt) incoming dy
-    du_ref,     # out (1, 1, Lc, dgt)
-    dd_ref,     # out (1, 1, Lc, dgt)
-    dB_ref,     # out (1, 1, Lc, N)
-    dC_ref,     # out (1, 1, Lc, N)
-    dA_ref,     # out (1, 1, N, dgt)   accumulated over chunks
+    u_ref,      # (bt, 1, Lc, dgt)
+    d_ref,      # (bt, 1, Lc, dgt)
+    B_ref,      # (bt, 1, Lc, N)
+    C_ref,      # (bt, 1, Lc, N)
+    cs_ref,     # (bt, 1, 1, 1, N, dgt) saved entry state
+    g_ref,      # (bt, 1, Lc, dgt) incoming dy
+    du_ref,     # out (bt, 1, Lc, dgt)
+    dd_ref,     # out (bt, 1, Lc, dgt)
+    dB_ref,     # out (bt, 1, Lc, N)
+    dC_ref,     # out (bt, 1, Lc, N)
+    dA_ref,     # out (1, 1, N, dgt)   accumulated over chunks + batch tile
     dD_ref,     # out (1, 1, 1, dgt)   accumulated
     ddb_ref,    # out (1, 1, 1, dgt)   accumulated
-    carry_ref,  # scratch (N, dgt): a_0*e_0 of the chunk processed before (t+1 side)
-    a_ref,      # scratch (Lc, N, dgt)
-    xsp_ref,    # scratch (Lc, N, dgt): x_{t-1} (pre-update states)
-    xs_ref,     # scratch (Lc, N, dgt): x_t
-    e_ref,      # scratch (Lc, N, dgt): dL/dx_t
+    carry_ref,  # scratch (bt, N, dgt): a_0*e_0 of the later-in-time chunk
+    a_ref,      # scratch (bt, Lc, N, dgt)
+    xsp_ref,    # scratch (bt, Lc, N, dgt): x_{t-1} (pre-update states)
+    xs_ref,     # scratch (bt, Lc, N, dgt): x_t
+    e_ref,      # scratch (bt, Lc, N, dgt): dL/dx_t
     *,
     softplus: bool,
     Lc: int,
@@ -177,34 +199,35 @@ def _bwd_kernel(
         ddb_ref[:] = jnp.zeros_like(ddb_ref)
 
     A = A_ref[0]
-    u = u_ref[0, 0].astype(jnp.float32)
-    raw = d_ref[0, 0].astype(jnp.float32) + db_ref[0]
+    u = u_ref[:, 0].astype(jnp.float32)
+    raw = d_ref[:, 0].astype(jnp.float32) + db_ref[0][None]
     dlt = jax.nn.softplus(raw) if softplus else raw
     du_in = dlt * u
-    a_ref[:] = jnp.exp(dlt[:, None, :] * A[None])
-    Bc = B_ref[0, 0].astype(jnp.float32)
-    Cc = C_ref[0, 0].astype(jnp.float32)
-    g = g_ref[0, 0].astype(jnp.float32)  # (Lc, dgt)
+    a_ref[:] = jnp.exp(dlt[:, :, None, :] * A[None, None])
+    Bc = B_ref[:, 0].astype(jnp.float32)
+    Cc = C_ref[:, 0].astype(jnp.float32)
+    g = g_ref[:, 0].astype(jnp.float32)              # (bt, Lc, dgt)
 
     # --- recompute within-chunk forward from the saved entry state ---
-    xs_ref[:] = Bc[:, :, None] * du_in[:, None, :]   # b, overwritten below
+    xs_ref[:] = Bc[..., None] * du_in[:, :, None, :]
 
     def fbody(t, x):
-        xsp_ref[t] = x
-        x = a_ref[t] * x + xs_ref[t]
-        xs_ref[t] = x
+        xsp_ref[:, t] = x
+        x = a_ref[:, t] * x + xs_ref[:, t]
+        xs_ref[:, t] = x
         return x
 
-    jax.lax.fori_loop(0, Lc, fbody, cs_ref[0, 0, 0, 0])
+    jax.lax.fori_loop(0, Lc, fbody, cs_ref[:, 0, 0, 0])
 
     # --- reverse scan: e_t = C_t g_t + a_{t+1} e_{t+1} ---
-    e_ref[:] = Cc[:, :, None] * g[:, None, :]        # dxc
+    e_ref[:] = Cc[..., None] * g[:, :, None, :]
 
     def rbody(i, carry):
         t = Lc - 1 - i
-        e = e_ref[t] + carry
-        e_ref[t] = e
-        return a_ref[t] * e
+        e = e_ref[:, t] + carry
+        e_ref[:, t] = e
+        return a_ref[:, t] * e
+
     carry_ref[:] = jax.lax.fori_loop(0, Lc, rbody, carry_ref[:])
 
     # --- vectorized gradient epilogue ---
@@ -213,20 +236,20 @@ def _bwd_kernel(
     xsp = xsp_ref[:]
     xs = xs_ref[:]
 
-    eaxp = e * a * xsp                                # (Lc, N, dgt)
+    eaxp = e * a * xsp                               # (bt, Lc, N, dgt)
     # delta from the a-path + from the b-path
-    dd_a = jnp.sum(eaxp * A[None], axis=1)            # (Lc, dgt)
-    ddu = jnp.sum(e * Bc[:, :, None], axis=1)         # (Lc, dgt)  = d(delta*u)
+    dd_a = jnp.sum(eaxp * A[None, None], axis=2)     # (bt, Lc, dgt)
+    ddu = jnp.sum(e * Bc[..., None], axis=2)         # (bt, Lc, dgt)
     dd_total = dd_a + ddu * u
     if softplus:
         dd_total = dd_total * jax.nn.sigmoid(raw)
-    dd_ref[0, 0] = dd_total.astype(dd_ref.dtype)
-    du_ref[0, 0] = (ddu * dlt + Dsk_ref[0] * g).astype(du_ref.dtype)
-    dB_ref[0, 0] = jnp.sum(e * du_in[:, None, :], axis=2).astype(dB_ref.dtype)
-    dC_ref[0, 0] = jnp.sum(xs * g[:, None, :], axis=2).astype(dC_ref.dtype)
-    dA_ref[0, 0] += jnp.sum(eaxp * dlt[:, None, :], axis=0)  # (N, dgt)
-    dD_ref[0, 0, 0] += jnp.sum(g * u, axis=0)
-    ddb_ref[0, 0, 0] += jnp.sum(dd_total, axis=0)
+    dd_ref[:, 0] = dd_total.astype(dd_ref.dtype)
+    du_ref[:, 0] = (ddu * dlt + Dsk_ref[0][None] * g).astype(du_ref.dtype)
+    dB_ref[:, 0] = jnp.sum(e * du_in[:, :, None, :], axis=3).astype(dB_ref.dtype)
+    dC_ref[:, 0] = jnp.sum(xs * g[:, :, None, :], axis=3).astype(dC_ref.dtype)
+    dA_ref[0, 0] += jnp.sum(eaxp * dlt[:, :, None, :], axis=(0, 1))  # (N, dgt)
+    dD_ref[0, 0, 0] += jnp.sum(g * u, axis=(0, 1))
+    ddb_ref[0, 0, 0] += jnp.sum(dd_total, axis=(0, 1))
 
 
 # ---------------------------------------------------------------------------
@@ -247,6 +270,14 @@ def _scan_core(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
     return y
 
 
+def _tiling(bsz, L, n, dg, chunk):
+    dgt = _dg_tile(dg)
+    btile = _pick_btile(bsz, n, dgt)
+    Lc = _cap_chunk(chunk, L, n, dgt, btile)
+    Lp = -(-L // Lc) * Lc
+    return dgt, dg // dgt, btile, Lc, Lp, Lp // Lc
+
+
 def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
     """u, delta: (B,G,L,dg); A_t: (G,N,dg); Bm,Cm: (B,G,L,N); Dsk,db: (G,1,dg).
 
@@ -254,18 +285,14 @@ def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
     """
     bsz, G, L, dg = u.shape
     n = A_t.shape[1]
-    dgt = _dg_tile(dg)
-    DT = dg // dgt
-    Lc = _cap_chunk(chunk, L, n, dgt)
-    Lp = -(-L // Lc) * Lc
-    nc = Lp // Lc
+    dgt, DT, bt, Lc, Lp, nc = _tiling(bsz, L, n, dg, chunk)
 
     u = _pad_L(u, Lp)
     delta = _pad_L(delta, Lp)
     Bm = _pad_L(Bm, Lp)
     Cm = _pad_L(Cm, Lp)
 
-    grid = (bsz, G, DT, nc)
+    grid = (bsz // bt, G, DT, nc)
     kernel = functools.partial(_fwd_kernel, softplus=softplus, Lc=Lc)
     y, cs = pl.pallas_call(
         kernel,
@@ -274,15 +301,15 @@ def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
             pl.BlockSpec((1, n, dgt), lambda b, g, dt, ck: (g, 0, dt)),
             pl.BlockSpec((1, 1, dgt), lambda b, g, dt, ck: (g, 0, dt)),
             pl.BlockSpec((1, 1, dgt), lambda b, g, dt, ck: (g, 0, dt)),
-            pl.BlockSpec((1, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, ck, dt)),
-            pl.BlockSpec((1, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, ck, dt)),
-            pl.BlockSpec((1, 1, Lc, n), lambda b, g, dt, ck: (b, g, ck, 0)),
-            pl.BlockSpec((1, 1, Lc, n), lambda b, g, dt, ck: (b, g, ck, 0)),
+            pl.BlockSpec((bt, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, ck, dt)),
+            pl.BlockSpec((bt, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, ck, dt)),
+            pl.BlockSpec((bt, 1, Lc, n), lambda b, g, dt, ck: (b, g, ck, 0)),
+            pl.BlockSpec((bt, 1, Lc, n), lambda b, g, dt, ck: (b, g, ck, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, ck, dt)),
+            pl.BlockSpec((bt, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, ck, dt)),
             pl.BlockSpec(
-                (1, 1, 1, 1, n, dgt), lambda b, g, dt, ck: (b, g, dt, ck, 0, 0)
+                (bt, 1, 1, 1, n, dgt), lambda b, g, dt, ck: (b, g, dt, ck, 0, 0)
             ),
         ],
         out_shape=[
@@ -290,9 +317,9 @@ def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
             jax.ShapeDtypeStruct((bsz, G, DT, nc, n, dgt), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, dgt), jnp.float32),
-            pltpu.VMEM((Lc, n, dgt), jnp.float32),
-            pltpu.VMEM((Lc, n, dgt), jnp.float32),
+            pltpu.VMEM((bt, n, dgt), jnp.float32),
+            pltpu.VMEM((bt, Lc, n, dgt), jnp.float32),
+            pltpu.VMEM((bt, Lc, n, dgt), jnp.float32),
         ],
         interpret=interpret,
     )(A_t, db, Dsk, u, delta, Bm, Cm)
@@ -308,11 +335,7 @@ def _scan_core_bwd(softplus, chunk, interpret, res, gy):
     u, delta, A_t, Bm, Cm, Dsk, db, cs = res
     bsz, G, L, dg = u.shape
     n = A_t.shape[1]
-    dgt = _dg_tile(dg)
-    DT = dg // dgt
-    Lc = _cap_chunk(chunk, L, n, dgt)
-    Lp = -(-L // Lc) * Lc
-    nc = Lp // Lc
+    dgt, DT, bt, Lc, Lp, nc = _tiling(bsz, L, n, dg, chunk)
 
     u_p = _pad_L(u, Lp)
     delta_p = _pad_L(delta, Lp)
@@ -320,7 +343,7 @@ def _scan_core_bwd(softplus, chunk, interpret, res, gy):
     Cm_p = _pad_L(Cm, Lp)
     gy_p = _pad_L(gy.astype(u.dtype), Lp)
 
-    grid = (bsz, G, DT, nc)
+    grid = (bsz // bt, G, DT, nc)
 
     def rev(ck):
         return nc - 1 - ck
@@ -333,39 +356,48 @@ def _scan_core_bwd(softplus, chunk, interpret, res, gy):
             pl.BlockSpec((1, n, dgt), lambda b, g, dt, ck: (g, 0, dt)),
             pl.BlockSpec((1, 1, dgt), lambda b, g, dt, ck: (g, 0, dt)),
             pl.BlockSpec((1, 1, dgt), lambda b, g, dt, ck: (g, 0, dt)),
-            pl.BlockSpec((1, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, rev(ck), dt)),
-            pl.BlockSpec((1, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, rev(ck), dt)),
-            pl.BlockSpec((1, 1, Lc, n), lambda b, g, dt, ck: (b, g, rev(ck), 0)),
-            pl.BlockSpec((1, 1, Lc, n), lambda b, g, dt, ck: (b, g, rev(ck), 0)),
+            pl.BlockSpec((bt, 1, Lc, dgt),
+                         lambda b, g, dt, ck: (b, g, rev(ck), dt)),
+            pl.BlockSpec((bt, 1, Lc, dgt),
+                         lambda b, g, dt, ck: (b, g, rev(ck), dt)),
+            pl.BlockSpec((bt, 1, Lc, n), lambda b, g, dt, ck: (b, g, rev(ck), 0)),
+            pl.BlockSpec((bt, 1, Lc, n), lambda b, g, dt, ck: (b, g, rev(ck), 0)),
             pl.BlockSpec(
-                (1, 1, 1, 1, n, dgt), lambda b, g, dt, ck: (b, g, dt, rev(ck), 0, 0)
+                (bt, 1, 1, 1, n, dgt),
+                lambda b, g, dt, ck: (b, g, dt, rev(ck), 0, 0),
             ),
-            pl.BlockSpec((1, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, rev(ck), dt)),
+            pl.BlockSpec((bt, 1, Lc, dgt),
+                         lambda b, g, dt, ck: (b, g, rev(ck), dt)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, rev(ck), dt)),
-            pl.BlockSpec((1, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, rev(ck), dt)),
-            pl.BlockSpec((1, 1, Lc, n), lambda b, g, dt, ck: (b, g, rev(ck), 0)),
-            pl.BlockSpec((1, 1, Lc, n), lambda b, g, dt, ck: (b, g, rev(ck), 0)),
-            pl.BlockSpec((1, 1, n, dgt), lambda b, g, dt, ck: (b, g * DT + dt, 0, 0)),
-            pl.BlockSpec((1, 1, 1, dgt), lambda b, g, dt, ck: (b, g * DT + dt, 0, 0)),
-            pl.BlockSpec((1, 1, 1, dgt), lambda b, g, dt, ck: (b, g * DT + dt, 0, 0)),
+            pl.BlockSpec((bt, 1, Lc, dgt),
+                         lambda b, g, dt, ck: (b, g, rev(ck), dt)),
+            pl.BlockSpec((bt, 1, Lc, dgt),
+                         lambda b, g, dt, ck: (b, g, rev(ck), dt)),
+            pl.BlockSpec((bt, 1, Lc, n), lambda b, g, dt, ck: (b, g, rev(ck), 0)),
+            pl.BlockSpec((bt, 1, Lc, n), lambda b, g, dt, ck: (b, g, rev(ck), 0)),
+            pl.BlockSpec((1, 1, n, dgt),
+                         lambda b, g, dt, ck: (b, g * DT + dt, 0, 0)),
+            pl.BlockSpec((1, 1, 1, dgt),
+                         lambda b, g, dt, ck: (b, g * DT + dt, 0, 0)),
+            pl.BlockSpec((1, 1, 1, dgt),
+                         lambda b, g, dt, ck: (b, g * DT + dt, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, G, Lp, dg), u.dtype),
             jax.ShapeDtypeStruct((bsz, G, Lp, dg), u.dtype),
             jax.ShapeDtypeStruct((bsz, G, Lp, n), Bm.dtype),
             jax.ShapeDtypeStruct((bsz, G, Lp, n), Bm.dtype),
-            jax.ShapeDtypeStruct((bsz, G * DT, n, dgt), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, G * DT, 1, dgt), jnp.float32),
-            jax.ShapeDtypeStruct((bsz, G * DT, 1, dgt), jnp.float32),
+            jax.ShapeDtypeStruct((bsz // bt, G * DT, n, dgt), jnp.float32),
+            jax.ShapeDtypeStruct((bsz // bt, G * DT, 1, dgt), jnp.float32),
+            jax.ShapeDtypeStruct((bsz // bt, G * DT, 1, dgt), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((n, dgt), jnp.float32),
-            pltpu.VMEM((Lc, n, dgt), jnp.float32),
-            pltpu.VMEM((Lc, n, dgt), jnp.float32),
-            pltpu.VMEM((Lc, n, dgt), jnp.float32),
-            pltpu.VMEM((Lc, n, dgt), jnp.float32),
+            pltpu.VMEM((bt, n, dgt), jnp.float32),
+            pltpu.VMEM((bt, Lc, n, dgt), jnp.float32),
+            pltpu.VMEM((bt, Lc, n, dgt), jnp.float32),
+            pltpu.VMEM((bt, Lc, n, dgt), jnp.float32),
+            pltpu.VMEM((bt, Lc, n, dgt), jnp.float32),
         ],
         interpret=interpret,
     )(A_t, db, Dsk, u_p, delta_p, Bm_p, Cm_p, cs, gy_p)
@@ -374,7 +406,7 @@ def _scan_core_bwd(softplus, chunk, interpret, res, gy):
     dd = dd[:, :, :L]
     dB = dB[:, :, :L]
     dC = dC[:, :, :L]
-    # (B, G*DT, n, dgt) -> (G, n, dg): sum over batch, stitch dg tiles
+    # (B/bt, G*DT, n, dgt) -> (G, n, dg): sum over batch tiles, stitch dg tiles
     dA = dA.sum(0).reshape(G, DT, n, dgt).transpose(0, 2, 1, 3).reshape(G, n, dg)
     dD = dD.sum(0).reshape(G, DT, dgt).reshape(G, 1, dg)
     ddb = ddb.sum(0).reshape(G, DT, dgt).reshape(G, 1, dg)
