@@ -182,3 +182,115 @@ class MADPretrainTransform:
             "image": np_softmax(onehot).astype(np.float32),
             "label": label.astype(np.int64),
         }
+
+
+class FusionTransform:
+    """RandomGeneratorv3/v4 image-fusion modes 1-7 (dataset.py:636-675,
+    catalogued in utils/utils.py:94-104). Sample keys: ``image`` (a cached
+    prediction map for the pred-based modes), ``label``, optional
+    ``origin_img`` (defaults to ``image``).
+
+      1: [origin, pred] channel stack            (2 ch)
+      2: [origin, label]                         (2 ch)
+      3: [origin] + binarized label              (1+C ch)
+      4: [origin] + masked binarized label       (1+C ch)  (+ mask_label out)
+      5: [origin] + binarized pred               (1+C ch)
+      6: [origin] + softmax((masked b_label + b_pred)/2)   (1+C ch)
+      7: masked binarized label alone            (C ch)
+    """
+
+    def __init__(self, output_size, num_classes=4, fusion_mode=1,
+                 error_val=1e-4, geometric=True, seed=0):
+        assert fusion_mode in range(1, 8)
+        self.output_size = tuple(output_size)
+        self.num_classes = num_classes
+        self.fusion_mode = fusion_mode
+        self.error_val = error_val
+        self.geometric = geometric
+        self.rng = np.random.default_rng(seed)
+
+    def _joint_geometric(self, arrays):
+        rng = self.rng
+        if rng.random() > 0.5:
+            k = int(rng.integers(0, 4))
+            axis = int(rng.integers(0, 2))
+            arrays = [np.flip(np.rot90(a, k), axis=axis).copy() for a in arrays]
+        if rng.random() > 0.5:
+            angle = int(rng.integers(-20, 20))
+            arrays = [ndimage.rotate(a, angle, order=0, reshape=False)
+                      for a in arrays]
+        s = rng.uniform(0.8, 1.2)
+        arrays = [nd_zoom(a, s, order=0) for a in arrays]
+        # shared pad+crop
+        out = self.output_size
+        a0 = arrays[0]
+        if a0.shape[0] <= out[0] or a0.shape[1] <= out[1]:
+            pw = max((out[0] - a0.shape[0]) // 2 + 3, 0)
+            ph = max((out[1] - a0.shape[1]) // 2 + 3, 0)
+            arrays = [np.pad(a, [(pw, pw), (ph, ph)], constant_values=0)
+                      for a in arrays]
+        w, h = arrays[0].shape
+        w1 = int(rng.integers(0, w - out[0]))
+        h1 = int(rng.integers(0, h - out[1]))
+        sl = np.s_[w1 : w1 + out[0], h1 : h1 + out[1]]
+        return [a[sl] for a in arrays]
+
+    def _mask_corrupt(self, label):
+        rng = self.rng
+        out = label.copy().astype(np.float32)
+        if rng.random() > 0.3:
+            ms = int(rng.choice(_PUZZLE_SIZES))
+            pr = float(rng.choice(_PUZZLE_RATES))
+            es = int(rng.choice(_EDGE_SIZES))
+            er = rng.uniform(1, 4) / 4 / es / es
+            val = int(rng.choice([-1, 0]))
+            r = rng.random()
+            if r < 0.20:
+                out = random_mask_puzzle(rng, out, pr, (ms, ms))
+            elif r < 0.85:
+                out = random_mask_edge(rng, out, er, (es, es), val)
+            else:
+                out = random_mask_edge(rng, out, er, (es, es), val)
+                out = random_mask_puzzle(rng, out, pr, (ms, ms))
+        return out
+
+    def _soft_binary(self, arr):
+        return np_softmax(image2binary(arr, self.error_val, self.num_classes))
+
+    def __call__(self, sample):
+        pred = sample["image"].astype(np.float32)
+        label = sample["label"].astype(np.float32)
+        origin = sample.get("origin_img", sample["image"]).astype(np.float32)
+        arrays = [pred, label, origin]
+        if self.geometric:
+            arrays = self._joint_geometric(arrays)
+        pred, label, origin = [
+            nd_zoom(a, (self.output_size[0] / a.shape[0],
+                        self.output_size[1] / a.shape[1]), order=0)
+            if a.shape != self.output_size else a
+            for a in arrays
+        ]
+        mode = self.fusion_mode
+        out = {"label": label.astype(np.int64)}
+        o = origin[..., None]
+        if mode == 1:
+            image = np.concatenate([o, pred[..., None]], axis=-1)
+        elif mode == 2:
+            image = np.concatenate([o, label[..., None]], axis=-1)
+        elif mode == 3:
+            image = np.concatenate([o, self._soft_binary(label)], axis=-1)
+        elif mode == 5:
+            image = np.concatenate([o, self._soft_binary(pred)], axis=-1)
+        else:  # 4, 6, 7: masked binarized label (+ optional pred blend)
+            mask_label = self._soft_binary(self._mask_corrupt(label))
+            if mode == 6:
+                mask_label = np_softmax(
+                    (mask_label + self._soft_binary(pred)) / 2.0
+                )
+            out["mask_label"] = mask_label.astype(np.float32)
+            if mode == 7:
+                image = mask_label
+            else:
+                image = np.concatenate([o, mask_label], axis=-1)
+        out["image"] = image.astype(np.float32)
+        return out

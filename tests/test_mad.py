@@ -85,3 +85,20 @@ def test_mad_finetune_steps(tmp_path):
     assert result["iterations"] == 6
     hist = [h["loss"] for h in result["history"] if "loss" in h]
     assert all(np.isfinite(hist))
+
+
+@pytest.mark.parametrize("mode,ch", [(1, 2), (2, 2), (3, 5), (4, 5), (5, 5),
+                                     (6, 5), (7, 4)])
+def test_fusion_transform_modes(rng, mode, ch):
+    from mamba_unet_tpu.data.mad_augment import FusionTransform
+
+    tf = FusionTransform((32, 32), num_classes=4, fusion_mode=mode, seed=mode)
+    sample = {"image": rng.uniform(size=(40, 44)).astype(np.float32),
+              "label": rng.integers(0, 4, size=(40, 44)),
+              "origin_img": rng.uniform(size=(40, 44)).astype(np.float32)}
+    out = tf(sample)
+    assert out["image"].shape == (32, 32, ch), mode
+    assert out["label"].shape == (32, 32)
+    if mode in (4, 6, 7):
+        assert out["mask_label"].shape == (32, 32, 4)
+        np.testing.assert_allclose(out["mask_label"].sum(-1), 1.0, rtol=1e-4)
