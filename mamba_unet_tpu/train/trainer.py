@@ -146,8 +146,10 @@ class Trainer:
         state = self.state
         return lambda x: self._predict(state.params, state.batch_stats, x)
 
-    def evaluate(self, val_dataset) -> float:
-        """Mean Dice over val volumes x foreground classes (val_2D protocol)."""
+    def evaluate(self, val_dataset, detailed: bool = False):
+        """Mean Dice over val volumes x foreground classes (val_2D protocol).
+        ``detailed=True`` additionally returns per-class (dice, hd95) means —
+        the reference's per-class val scalars (train_*_2D.py:150-160)."""
         cfg = self.config
         pf = self.predict_fn()
         metrics = []
@@ -159,7 +161,10 @@ class Trainer:
             )
             metrics.append(m)
         arr = np.asarray(metrics)  # (cases, classes-1, 2)
-        return float(arr[:, :, 0].mean())
+        mean_dice = float(arr[:, :, 0].mean())
+        if detailed:
+            return mean_dice, arr.mean(axis=0)  # (classes-1, 2)
+        return mean_dice
 
     # --- resume ----------------------------------------------------------
     def try_resume(self) -> int:
@@ -215,11 +220,16 @@ class Trainer:
                 if tb is not None:
                     tb.scalars(it, {"info/total_loss": loss, "info/lr": lr})
             if val_dataset is not None and it % cfg.eval_every == 0:
-                dice = self.evaluate(val_dataset)
+                dice, per_class = self.evaluate(val_dataset, detailed=True)
                 log.info("iter %d val mean dice %.4f (best %.4f)", it, dice, best_dice)
                 history.append({"iter": it, "val_dice": dice})
                 if tb is not None:
-                    tb.scalars(it, {"info/val_mean_dice": dice})
+                    scalars = {"info/val_mean_dice": dice,
+                               "info/val_mean_hd95": float(per_class[:, 1].mean())}
+                    for c in range(per_class.shape[0]):
+                        scalars[f"info/val_{c + 1}_dice"] = float(per_class[c, 0])
+                        scalars[f"info/val_{c + 1}_hd95"] = float(per_class[c, 1])
+                    tb.scalars(it, scalars)
                 if dice > best_dice:
                     best_dice = dice
                     if cfg.snapshot_dir:
