@@ -212,12 +212,15 @@ def _bwd_kernel(
     xs_ref[:] = Bc[..., None] * du_in[:, :, None, :]
 
     def fbody(t, x):
-        xsp_ref[:, t] = x
         x = a_ref[:, t] * x + xs_ref[:, t]
         xs_ref[:, t] = x
         return x
 
     jax.lax.fori_loop(0, Lc, fbody, cs_ref[:, 0, 0, 0])
+    # x_{t-1} = xs shifted right by one with the entry state — a vectorized
+    # copy instead of a second per-step store in the loop
+    xsp_ref[:, 0] = cs_ref[:, 0, 0, 0]
+    xsp_ref[:, 1:] = xs_ref[:, : Lc - 1]
 
     # --- reverse scan: e_t = C_t g_t + a_{t+1} e_{t+1} ---
     e_ref[:] = Cc[..., None] * g[:, :, None, :]
