@@ -23,6 +23,20 @@ from scipy.ndimage import zoom as nd_zoom
 from mamba_unet_tpu.eval.metrics import calculate_metric_percase
 
 
+def _zoom0(arr: np.ndarray, out_shape: Sequence[int]) -> np.ndarray:
+    """Order-0 2-D resize: native C++ when available (scipy-exact), else
+    scipy. Keeps the reference's exact NN index arithmetic either way."""
+    try:
+        from mamba_unet_tpu.data import native
+
+        if native.available():
+            return native.nn_zoom(np.ascontiguousarray(arr), out_shape)
+    except Exception:
+        pass
+    h, w = arr.shape
+    return nd_zoom(arr, (out_shape[0] / h, out_shape[1] / w), order=0)
+
+
 def test_single_volume(
     image: np.ndarray,
     label: np.ndarray,
@@ -44,9 +58,7 @@ def test_single_volume(
 
     # Host resize (order-0 NN, identical to the reference), then one batch.
     if (x, y) != ps:
-        slices = np.stack(
-            [nd_zoom(image[i], (ps[0] / x, ps[1] / y), order=0) for i in range(z)]
-        )
+        slices = np.stack([_zoom0(image[i], ps) for i in range(z)])
     else:
         slices = image
     inp = slices.astype(np.float32)[..., None]  # (Z, ps, ps, 1)
@@ -65,9 +77,7 @@ def test_single_volume(
     out = np.concatenate(preds, axis=0)  # (Z, ps, ps)
 
     if (x, y) != ps:
-        prediction = np.stack(
-            [nd_zoom(out[i], (x / ps[0], y / ps[1]), order=0) for i in range(z)]
-        )
+        prediction = np.stack([_zoom0(out[i], (x, y)) for i in range(z)])
     else:
         prediction = out
 
@@ -138,7 +148,7 @@ def sliding_window_inference_3d(
                     prob.transpose(3, 0, 1, 2) * weight[None]
                 )
                 cnt[xs : xs + pd, ys : ys + ph, zs : zs + pw] += weight
-    score /= np.maximum(cnt, 1)[None]
+    score /= np.maximum(cnt, 1e-8)[None]
     pred = np.argmax(score, axis=0)
     if any(pads):
         (d0, _), (h0, _), (w0, _) = pad_width
