@@ -35,6 +35,10 @@ def build_parser():
 def run_inference(args) -> dict:
     import h5py
     import jax
+
+    # honor JAX_PLATFORMS even when a TPU plugin force-registers itself
+    if os.environ.get("JAX_PLATFORMS"):
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
     import jax.numpy as jnp
 
     from mamba_unet_tpu.data import VolumeDataset

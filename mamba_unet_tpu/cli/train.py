@@ -25,7 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--method", type=str, default="fully_supervised",
                    choices=["fully_supervised", "mean_teacher", "uamt",
                             "cross_teaching", "magicnet",
-                            "contrastive_consistency", "mask_pretrain"])
+                            "contrastive_consistency", "mask_pretrain",
+                            "mad_pretrain", "mad_finetune"])
     p.add_argument("--cfg", type=str, default=None,
                    help="yaml model config (configs/*.yaml)")
     p.add_argument("--opts", nargs="*", default=None,
@@ -52,6 +53,16 @@ def build_parser() -> argparse.ArgumentParser:
                         "use 0.0 when training from scratch)")
     p.add_argument("--pretrained_ckpt", type=str, default=None,
                    help="torch .pth to convert and load (utils.convert)")
+    p.add_argument("--mad_model", type=str, default="unet",
+                   help="denoiser model for mad_finetune (MAD_FineTuning.py)")
+    p.add_argument("--seg_ckpt", type=str, default=None,
+                   help="orbax snapshot dir to warm-start the seg model "
+                        "(mad_finetune; loads the newest 'best' ckpt)")
+    p.add_argument("--mad_ckpt", type=str, default=None,
+                   help="orbax snapshot dir to warm-start the mad+den "
+                        "denoisers (mad_finetune)")
+    p.add_argument("--image_noise", type=float, default=1e-3,
+                   help="one-hot epsilon for MAD label corruption")
     p.add_argument("--synthetic", action="store_true",
                    help="generate+use a synthetic ACDC-format dataset (smoke/bench)")
     return p
@@ -65,6 +76,13 @@ def main(argv=None) -> int:
         datefmt="%H:%M:%S",
         stream=sys.stdout,
     )
+
+    # honor JAX_PLATFORMS even when a TPU plugin force-registers itself and
+    # ignores the env var (the config update is the authoritative override)
+    if os.environ.get("JAX_PLATFORMS"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 
     import jax.numpy as jnp
 
@@ -103,12 +121,16 @@ def main(argv=None) -> int:
     if args.method in ("magicnet", "mask_pretrain"):
         kwargs.update(cube_size=args.cube_size,
                       patch_size=args.patch_size[0])
+    if args.method == "mad_pretrain":
+        # the denoiser eats near-one-hot label stacks (MAD_Pretrain.py:
+        # in_chns=num_classes)
+        kwargs["in_chns"] = args.num_classes
     if args.cfg:
         from mamba_unet_tpu.utils.config import build_model_from_config, get_config
 
         model = build_model_from_config(
             get_config(args.cfg, args.opts), num_classes=args.num_classes,
-            img_size=args.patch_size[0],
+            img_size=args.patch_size[0], drop_path_rate=args.drop_path,
         )
     else:
         model = net_factory(args.model, **kwargs)
@@ -122,11 +144,29 @@ def main(argv=None) -> int:
         eval_every=args.eval_every,
         seed=args.seed,
         snapshot_dir=args.snapshot_dir,
+        in_channels=(args.num_classes if args.method == "mad_pretrain" else 1),
     )
 
-    train_ds = SliceDataset(
-        root, transform=RandomGenerator(cfg.patch_size, seed=args.seed)
-    )
+    mad_transform = None
+    if args.method == "mad_pretrain":
+        from mamba_unet_tpu.data.mad_augment import MADPretrainTransform
+
+        mad_transform = MADPretrainTransform(
+            cfg.patch_size, num_classes=args.num_classes,
+            error_val=args.image_noise, seed=args.seed,
+        )
+        train_ds = SliceDataset(root, transform=mad_transform)
+    elif args.method == "mad_finetune":
+        from mamba_unet_tpu.data.mad_augment import MADFineTuneTransform
+
+        train_ds = SliceDataset(root, transform=MADFineTuneTransform(
+            cfg.patch_size, num_classes=args.num_classes,
+            error_val=args.image_noise, seed=args.seed,
+        ))
+    else:
+        train_ds = SliceDataset(
+            root, transform=RandomGenerator(cfg.patch_size, seed=args.seed)
+        )
     val_ds = VolumeDataset(root, "val")
 
     cta = cta_transform = None
@@ -139,12 +179,50 @@ def main(argv=None) -> int:
                                      seed=args.seed)
         train_ds = SliceDataset(root, transform=cta_transform)
 
-    if args.method in ("fully_supervised", "mask_pretrain"):
+    if args.method in ("fully_supervised", "mask_pretrain", "mad_pretrain",
+                       "mad_finetune"):
         sampler = EpochShuffleSampler(len(train_ds), cfg.batch_size, seed=args.seed)
         if args.method == "mask_pretrain":
             from mamba_unet_tpu.train.mask_pretrain import MaskPretrainTrainer
 
             trainer = MaskPretrainTrainer(model, cfg, cube_size=args.cube_size)
+        elif args.method == "mad_pretrain":
+            from mamba_unet_tpu.train.mad import MADPretrainTrainer
+
+            trainer = MADPretrainTrainer(model, cfg, transform=mad_transform)
+        elif args.method == "mad_finetune":
+            from mamba_unet_tpu.train.mad import MADFineTuneTrainer
+            from mamba_unet_tpu.utils import latest_step, restore_checkpoint
+
+            mad_model = net_factory(args.mad_model,
+                                    num_classes=args.num_classes,
+                                    in_chns=args.num_classes)
+            trainer = MADFineTuneTrainer(model, mad_model, cfg)
+
+            def _warm(st, ckpt_dir):
+                """Load the newest best/periodic params into a TrainState
+                (MAD_FineTuning.py:60-95 warm-start)."""
+                for name in ("best", "state"):
+                    step = latest_step(ckpt_dir, name=name)
+                    if step is not None:
+                        tgt = {"params": st.params,
+                               "batch_stats": st.batch_stats}
+                        got = restore_checkpoint(ckpt_dir, step, tgt, name=name)
+                        logging.info("warm-start %s_%d from %s",
+                                     name, step, ckpt_dir)
+                        return st.replace(params=got["params"],
+                                          batch_stats=got["batch_stats"])
+                logging.warning("no checkpoint found in %s", ckpt_dir)
+                return st
+
+            ms = trainer.mad_state
+            if args.seg_ckpt:
+                ms = ms.replace(seg=_warm(ms.seg, args.seg_ckpt))
+                trainer.state = ms.seg
+            if args.mad_ckpt:
+                ms = ms.replace(mad=_warm(ms.mad, args.mad_ckpt),
+                                den=_warm(ms.den, args.mad_ckpt))
+            trainer.mad_state = ms
         else:
             trainer = Trainer(model, cfg)
     else:

@@ -50,10 +50,10 @@ class CTATransform:
         label = self._resize(sample["label"].astype(np.uint8))
 
         pil_img = np_to_pil(image)
-        weak = cta_apply(pil_img, self.ops_weak)
-        strong = cta_apply(weak, self.ops_strong)
+        weak = cta_apply(pil_img, self.ops_weak, rng=self.rng)
+        strong = cta_apply(weak, self.ops_strong, rng=self.rng)
         label_pil = Image.fromarray(label.astype(np.uint8))
-        label_aug = np.asarray(cta_apply(label_pil, self.ops_weak))
+        label_aug = np.asarray(cta_apply(label_pil, self.ops_weak, rng=self.rng))
         label_aug = np.rint(label_aug).astype(np.int64)
 
         shuffle_idx, grid_perm = get_grid_shuffle_index(

@@ -8,8 +8,15 @@ op chains (uniform bins for probes, thresholded learned rates for training);
 Strong ops = the first 9 registered (photometric + cutout), weak ops = the
 rest (geometric), matching the reference's split at index 9 (:58-62).
 
-Host-side numpy/PIL; all randomness from an explicit np.random.Generator.
+Host-side numpy/PIL; all randomness from an explicit np.random.Generator
+(stochastic ops like ``cutout`` take the generator through ``cta_apply``).
 Grid-shuffle (jigsaw) helpers included (:256-288).
+
+Provenance: the CTAugment algorithm (rate_to_p / policy / update_rates and
+the op tables: 17 bins, 0.1+1.9*level enhance range, strong/weak split at
+index 9) originates in Google Research's FixMatch (Apache-2.0), which the
+reference vendors; the algorithm has one canonical form and is kept
+semantically identical here so learned policies transfer.
 """
 
 from __future__ import annotations
@@ -89,14 +96,18 @@ def sharpness(x, level):
 
 
 @register(17)
-def cutout(x, level):
+def cutout(x, level, rng: Optional[np.random.Generator] = None):
     """Zero a random square of side ~level*min(size)/2 in the lower-right
-    quadrant region (kept faithful to the reference's sampling :183-200)."""
+    quadrant region (kept faithful to the reference's sampling :183-200).
+    The only stochastic op: position comes from the explicit generator
+    threaded through ``cta_apply`` (fresh OS-seeded one if absent)."""
+    if rng is None:
+        rng = np.random.default_rng()
     x = x.copy()
     size = 1 + int(level * min(x.size) * 0.499)
     img_height, img_width = x.size
-    hl = np.random.randint(img_height // 2, img_height)
-    wl = np.random.randint(img_height // 2, img_width)
+    hl = int(rng.integers(img_height // 2, img_height))
+    wl = int(rng.integers(img_height // 2, img_width))
     arr = np.array(x)
     r0, r1 = max(0, wl - size // 2), min(img_width, wl + size // 2)
     c0, c1 = max(0, hl - size // 2), min(img_height, hl + size // 2)
@@ -199,16 +210,15 @@ class CTAugment:
                 rate[i] = rate[i] * self.decay + proximity * (1 - self.decay)
 
     def stats(self) -> str:
-        return "\n".join(
-            "%-16s    %s" % (
-                k,
-                " / ".join(
-                    " ".join("%.2f" % x for x in self.rate_to_p(rate))
-                    for rate in self.rates[k]
-                ),
+        """Human-readable per-op thresholded-rate table (one op per line)."""
+        lines = []
+        for k in sorted(OPS.keys()):
+            per_bin = " | ".join(
+                ",".join(f"{x:.2f}" for x in self.rate_to_p(rate))
+                for rate in self.rates[k]
             )
-            for k in sorted(OPS.keys())
-        )
+            lines.append(f"{k:<16s} {per_bin}")
+        return "\n".join(lines)
 
     # StorableCTAugment (augmentations/__init__.py:7-20)
     def state_dict(self) -> OrderedDict:
@@ -226,11 +236,22 @@ def get_default_cta(seed: int = 0) -> CTAugment:
     return CTAugment(seed=seed)
 
 
-def cta_apply(pil_img: Image.Image, ops: Optional[Sequence[OP]]) -> Image.Image:
+# ops whose result depends on randomness beyond their bin levels
+_STOCHASTIC_OPS = frozenset({"cutout"})
+
+
+def cta_apply(
+    pil_img: Image.Image,
+    ops: Optional[Sequence[OP]],
+    rng: Optional[np.random.Generator] = None,
+) -> Image.Image:
     if ops is None:
         return pil_img
     for op, args in ops:
-        pil_img = OPS[op].f(pil_img, *args)
+        if op in _STOCHASTIC_OPS:
+            pil_img = OPS[op].f(pil_img, *args, rng=rng)
+        else:
+            pil_img = OPS[op].f(pil_img, *args)
     return pil_img
 
 

@@ -131,6 +131,27 @@ _PUZZLE_RATES = [0.15, 0.17, 0.19, 0.21, 0.23, 0.25, 0.27, 0.30, 0.35,
 _EDGE_SIZES = [1, 2, 3, 4]
 
 
+def random_mask_corrupt(rng: np.random.Generator, arr: np.ndarray) -> np.ndarray:
+    """One draw of the MAD masking pipeline with randomized parameters
+    (gen_mask_param + the 0.20/0.85 branch, dataset.py:705-747): 20% puzzle
+    mask, 65% edge mask, 15% both."""
+    ms = int(rng.choice(_PUZZLE_SIZES))
+    puzzle_rate = float(rng.choice(_PUZZLE_RATES))
+    es = int(rng.choice(_EDGE_SIZES))
+    total = rng.uniform(1, 4)
+    edge_rate = total / 4 / es / es
+    val = int(rng.choice([-1, 0]))
+    r = rng.random()
+    if r < 0.20:
+        arr = random_mask_puzzle(rng, arr, puzzle_rate, (ms, ms))
+    elif r < 0.85:
+        arr = random_mask_edge(rng, arr, edge_rate, (es, es), val)
+    else:
+        arr = random_mask_edge(rng, arr, edge_rate, (es, es), val)
+        arr = random_mask_puzzle(rng, arr, puzzle_rate, (ms, ms))
+    return arr
+
+
 class MADPretrainTransform:
     """RandomGeneratorv3 mode 0 with label corruption: the network INPUT is a
     softmaxed near-one-hot of the (masked) label; target is the clean label.
@@ -146,22 +167,15 @@ class MADPretrainTransform:
         self.rng = np.random.default_rng(seed)
 
     def _corrupt(self, corrupted):
-        rng = self.rng
-        ms = int(rng.choice(_PUZZLE_SIZES))
-        puzzle_rate = float(rng.choice(_PUZZLE_RATES))
-        es = int(rng.choice(_EDGE_SIZES))
-        total = rng.uniform(1, 4)
-        edge_rate = total / 4 / es / es
-        val = int(rng.choice([-1, 0]))
-        r = rng.random()
-        if r < 0.20:
-            corrupted = random_mask_puzzle(rng, corrupted, puzzle_rate, (ms, ms))
-        elif r < 0.85:
-            corrupted = random_mask_edge(rng, corrupted, edge_rate, (es, es), val)
-        else:
-            corrupted = random_mask_edge(rng, corrupted, edge_rate, (es, es), val)
-            corrupted = random_mask_puzzle(rng, corrupted, puzzle_rate, (ms, ms))
-        return corrupted
+        return random_mask_corrupt(self.rng, corrupted)
+
+    def mask_label_only(self, label2d: np.ndarray) -> np.ndarray:
+        """Corrupt + one-hot + softmax a single label slice — the eval-side
+        input builder (reference mask_label_onle, dataset.py:792-806)."""
+        corrupted = random_mask_corrupt(self.rng, label2d.astype(np.float32))
+        return np_softmax(
+            image2binary(corrupted, self.error_val, self.num_classes)
+        ).astype(np.float32)
 
     def __call__(self, sample):
         _, label = sample["image"], sample["label"]
@@ -181,6 +195,67 @@ class MADPretrainTransform:
         return {
             "image": np_softmax(onehot).astype(np.float32),
             "label": label.astype(np.int64),
+        }
+
+
+class MADFineTuneTransform:
+    """RandomGeneratorv_4_finetune train mode (dataset.py:680-758): rot/flip
+    p.5, rotate p.5, resize; mask_label = ALWAYS-corrupted copy of the label
+    (20% puzzle / 65% edge / 15% both, randomized params); joint scale + crop
+    of (image, label, mask_label); mask_label -> near-one-hot -> softmax.
+
+    Yields {image (H,W,1), label (H,W), mask_label (H,W,C)} — the batch the
+    MADFineTuneTrainer consumes (MAD_FineTuning.py:109-115).
+    """
+
+    def __init__(self, output_size: Sequence[int], num_classes: int = 4,
+                 error_val: float = 1e-3, seed: int = 0):
+        self.output_size = tuple(output_size)
+        self.num_classes = num_classes
+        self.error_val = error_val
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, sample):
+        rng = self.rng
+        image = sample["image"].astype(np.float32)
+        label = sample["label"].astype(np.float32)
+        if rng.random() > 0.5:
+            image, label = random_rot_flip(rng, image, label)
+        if rng.random() > 0.5:
+            image, label = random_rotate(rng, image, label)
+        image, label = resize_pair(image, label, self.output_size)
+
+        mask_label = random_mask_corrupt(rng, label.copy())
+
+        # joint scale + crop on the triple (random_scale_2D_mask /
+        # random_crop_2D_mask in the reference)
+        s = rng.uniform(0.8, 1.2)
+        image, label, mask_label = (
+            nd_zoom(a, s, order=0) for a in (image, label, mask_label)
+        )
+        out = self.output_size
+        if label.shape[0] <= out[0] or label.shape[1] <= out[1]:
+            pw = max((out[0] - label.shape[0]) // 2 + 3, 0)
+            ph = max((out[1] - label.shape[1]) // 2 + 3, 0)
+            image, label, mask_label = (
+                np.pad(a, [(pw, pw), (ph, ph)], constant_values=0)
+                for a in (image, label, mask_label)
+            )
+        w, h = label.shape
+        w1 = int(rng.integers(0, w - out[0]))
+        h1 = int(rng.integers(0, h - out[1]))
+        sl = np.s_[w1 : w1 + out[0], h1 : h1 + out[1]]
+        image, label, mask_label = image[sl], label[sl], mask_label[sl]
+        # crops can land off-size when scale shrank exactly to the bound
+        image, label = resize_pair(image, label, self.output_size)
+        mask_label, _ = resize_pair(mask_label, mask_label, self.output_size)
+
+        onehot = np_softmax(image2binary(mask_label, self.error_val,
+                                         self.num_classes))
+        return {
+            "image": image.astype(np.float32)[..., None],
+            "label": label.astype(np.int64),
+            "mask_label": onehot.astype(np.float32),
         }
 
 

@@ -10,7 +10,12 @@ from mamba_unet_tpu.eval.metrics import (
     calculate_metric_percase,
     calculate_metric_percase_full,
 )
-from mamba_unet_tpu.eval.inference import test_single_volume, sliding_window_inference_3d
+from mamba_unet_tpu.eval.inference import (
+    test_single_volume,
+    test_single_volume_mad,
+    test_single_volume_stacked,
+    sliding_window_inference_3d,
+)
 
 __all__ = [
     "dice_binary",
@@ -22,5 +27,7 @@ __all__ = [
     "calculate_metric_percase",
     "calculate_metric_percase_full",
     "test_single_volume",
+    "test_single_volume_mad",
+    "test_single_volume_stacked",
     "sliding_window_inference_3d",
 ]

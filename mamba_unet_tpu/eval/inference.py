@@ -63,18 +63,7 @@ def test_single_volume(
         slices = image
     inp = slices.astype(np.float32)[..., None]  # (Z, ps, ps, 1)
 
-    bs = batch_size or z
-    preds = []
-    for s in range(0, z, bs):
-        chunk = inp[s : s + bs]
-        pad = bs - chunk.shape[0]
-        if pad:  # keep a single compiled shape for the tail batch
-            chunk = np.concatenate([chunk, np.zeros((pad, *chunk.shape[1:]), np.float32)])
-        logits = np.asarray(predict_fn(chunk))
-        if pad:
-            logits = logits[: bs - pad]
-        preds.append(np.argmax(logits, axis=-1))
-    out = np.concatenate(preds, axis=0)  # (Z, ps, ps)
+    out = _predict_batched(inp, predict_fn, batch_size)
 
     if (x, y) != ps:
         prediction = np.stack([_zoom0(out[i], (x, y)) for i in range(z)])
@@ -85,6 +74,81 @@ def test_single_volume(
         calculate_metric_percase(prediction == i, label == i)
         for i in range(1, classes)
     ]
+
+
+def _predict_batched(
+    inp: np.ndarray, predict_fn: Callable, batch_size: Optional[int]
+) -> np.ndarray:
+    """(Z, ps, ps, C_in) -> argmax'd (Z, ps, ps); tail batches padded so the
+    jitted predict_fn sees one compiled shape."""
+    z = inp.shape[0]
+    bs = batch_size or z
+    preds = []
+    for s in range(0, z, bs):
+        chunk = inp[s : s + bs]
+        pad = bs - chunk.shape[0]
+        if pad:
+            chunk = np.concatenate(
+                [chunk, np.zeros((pad, *chunk.shape[1:]), np.float32)]
+            )
+        logits = np.asarray(predict_fn(chunk))
+        if pad:
+            logits = logits[: bs - pad]
+        preds.append(np.argmax(logits, axis=-1))
+    return np.concatenate(preds, axis=0)
+
+
+def test_single_volume_mad(
+    label: np.ndarray,
+    predict_fn: Callable[[np.ndarray], np.ndarray],
+    classes: int,
+    corrupt_fn: Callable[[np.ndarray], np.ndarray],
+    patch_size: Sequence[int] = (256, 256),
+    batch_size: Optional[int] = None,
+) -> List[Tuple[float, float]]:
+    """MAD-denoiser validation (``val_2D.py:54-78``): the network input is a
+    CORRUPTED near-one-hot of each label slice (``corrupt_fn``: (ps, ps)
+    label -> (ps, ps, C)), and metrics compare the denoised argmax against
+    the clean label. The reference discards the image entirely
+    (val_2D.py:57 ``image = label.copy()``)."""
+    label = np.asarray(label)
+    z, x, y = label.shape
+    ps = tuple(patch_size)
+    slices = [
+        corrupt_fn(_zoom0(label[i].astype(np.float32), ps)) for i in range(z)
+    ]
+    inp = np.stack(slices).astype(np.float32)  # (Z, ps, ps, C)
+    out = _predict_batched(inp, predict_fn, batch_size)
+    if (x, y) != ps:
+        prediction = np.stack([_zoom0(out[i], (x, y)) for i in range(z)])
+    else:
+        prediction = out
+    return [
+        calculate_metric_percase(prediction == i, label == i)
+        for i in range(1, classes)
+    ]
+
+
+def test_single_volume_stacked(
+    image: np.ndarray,
+    label: np.ndarray,
+    seg_fn: Callable[[np.ndarray], np.ndarray],
+    den_fn: Callable[[np.ndarray], np.ndarray],
+    classes: int,
+    patch_size: Sequence[int] = (256, 256),
+    batch_size: Optional[int] = None,
+) -> List[Tuple[float, float]]:
+    """Stacked seg->denoiser validation (``val_2D.py:80-103``
+    test_single_volume_for_trainLabel): prediction = argmax(den(softmax(seg(x))))."""
+
+    def composed(x):
+        logits = np.asarray(seg_fn(x))
+        e = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        return den_fn((e / e.sum(axis=-1, keepdims=True)).astype(np.float32))
+
+    return test_single_volume(
+        image, label, composed, classes, patch_size, batch_size
+    )
 
 
 def gaussian_importance_map(patch_size: Sequence[int], sigma_scale: float = 0.125):

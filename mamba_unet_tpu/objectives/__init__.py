@@ -14,6 +14,10 @@ from mamba_unet_tpu.objectives.losses import (
     constra_loss,
     focal_loss,
     supervised_ce_dice,
+    vat_loss,
+    weighted_bce_iou_loss,
+    loss_sup,
+    loss_diff,
 )
 from mamba_unet_tpu.objectives.ramps import (
     sigmoid_rampup,
@@ -35,6 +39,10 @@ __all__ = [
     "constra_loss",
     "focal_loss",
     "supervised_ce_dice",
+    "vat_loss",
+    "weighted_bce_iou_loss",
+    "loss_sup",
+    "loss_diff",
     "sigmoid_rampup",
     "linear_rampup",
     "cosine_rampdown",

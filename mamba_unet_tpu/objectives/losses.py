@@ -36,11 +36,16 @@ def dice_loss(
     """Per-class soft dice (incl. background), weighted mean over classes.
 
     probs, target_onehot: (B, ..., C) — probs should already be softmaxed.
+    Vectorized over the class axis: ONE fused pass over the arrays instead
+    of a per-class loop (same math as _soft_dice per class).
     """
     n_classes = probs.shape[-1]
-    per_class = jnp.stack(
-        [_soft_dice(probs[..., i], target_onehot[..., i]) for i in range(n_classes)]
-    )
+    axes = tuple(range(probs.ndim - 1))
+    s = probs.astype(jnp.float32)
+    t = target_onehot.astype(jnp.float32)
+    intersect = jnp.sum(s * t, axis=axes)
+    denom = jnp.sum(s * s, axis=axes) + jnp.sum(t * t, axis=axes)
+    per_class = 1.0 - (2.0 * intersect + _SMOOTH) / (denom + _SMOOTH)
     if weight is not None:
         per_class = per_class * jnp.asarray(weight, jnp.float32)
     return jnp.sum(per_class) / n_classes
@@ -67,11 +72,15 @@ def dice_loss_pair(score: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
 
 
 def softmax_dice_loss(input_logits: jnp.ndarray, target_logits: jnp.ndarray):
-    """Per-class dice_loss1 between softmaxes, mean over classes (losses.py)."""
-    p = jax.nn.softmax(input_logits, axis=-1)
-    q = jax.nn.softmax(target_logits, axis=-1)
-    n = p.shape[-1]
-    return sum(dice_loss_pair(p[..., i], q[..., i]) for i in range(n)) / n
+    """Per-class dice_loss1 between softmaxes, mean over classes (losses.py).
+    Vectorized over the class axis (same math as dice_loss_pair per class)."""
+    p = jax.nn.softmax(input_logits.astype(jnp.float32), axis=-1)
+    q = jax.nn.softmax(target_logits.astype(jnp.float32), axis=-1)
+    axes = tuple(range(p.ndim - 1))
+    intersect = jnp.sum(p * q, axis=axes)
+    denom = jnp.sum(p, axis=axes) + jnp.sum(q, axis=axes)
+    per_class = 1.0 - (2.0 * intersect + _SMOOTH) / (denom + _SMOOTH)
+    return jnp.mean(per_class)
 
 
 def cross_entropy_loss(
@@ -143,6 +152,101 @@ def constra_loss(inputs: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
     a = a / jnp.maximum(jnp.linalg.norm(a, axis=1, keepdims=True), 1e-12)
     b = b / jnp.maximum(jnp.linalg.norm(b, axis=1, keepdims=True), 1e-12)
     return jnp.mean((a - b) ** 2)
+
+
+def _main_logits(out):
+    return out[0] if isinstance(out, (tuple, list)) else out
+
+
+def _l2_normalize_per_sample(d: jnp.ndarray) -> jnp.ndarray:
+    """Unit-norm each sample's full perturbation tensor (losses.py:130-134)."""
+    flat = d.reshape(d.shape[0], -1)
+    nrm = jnp.linalg.norm(flat, axis=1).reshape((-1,) + (1,) * (d.ndim - 1))
+    return d / (nrm + 1e-8)
+
+
+def vat_loss(
+    forward_fn,
+    x: jnp.ndarray,
+    rng: jax.Array,
+    xi: float = 10.0,
+    epi: float = 6.0,
+    ip: int = 1,
+) -> jnp.ndarray:
+    """Virtual adversarial training loss — functional JAX form of VAT3d
+    (reference ``code/utils/losses.py:137-166``, dormant upstream).
+
+    ``forward_fn(x) -> logits`` (tuple-returning models use the main head).
+    The adversarial direction is found by ``ip`` power iterations of
+    ``jax.grad`` w.r.t. the perturbation (replacing d.requires_grad_ +
+    backward); the distance is the soft-target Dice between the perturbed
+    softmax and the clean (stop-gradient) softmax. Rank-agnostic: works for
+    2-D (B, H, W, C) and 3-D (B, D, H, W, C) outputs alike.
+    """
+    pred = jax.lax.stop_gradient(
+        jax.nn.softmax(_main_logits(forward_fn(x)).astype(jnp.float32), axis=-1)
+    )
+
+    def adv_distance(d):
+        p_hat = jax.nn.softmax(
+            _main_logits(forward_fn(x + xi * d)).astype(jnp.float32), axis=-1
+        )
+        return dice_loss(p_hat, pred)
+
+    d = _l2_normalize_per_sample(
+        jax.random.uniform(rng, x.shape, jnp.float32) - 0.5
+    )
+    for _ in range(ip):
+        d = _l2_normalize_per_sample(jax.grad(adv_distance)(d))
+    p_hat = jax.nn.softmax(
+        _main_logits(forward_fn(x + epi * d)).astype(jnp.float32), axis=-1
+    )
+    return dice_loss(p_hat, pred)
+
+
+def _box_mean_2d(x: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Same-padded k×k box-filter mean over the spatial dims of (B, H, W).
+    Divides by k² everywhere (pad zeros count), matching torch avg_pool2d's
+    default count_include_pad=True used by the reference."""
+    summed = jax.lax.reduce_window(
+        x, 0.0, jax.lax.add, (1, k, k), (1, 1, 1), "SAME"
+    )
+    return summed / float(k * k)
+
+
+def weighted_bce_iou_loss(pred: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Boundary-weighted BCE + weighted IoU (reference ``losses.py:401-412``
+    ``weighted_loss``, dormant upstream): weit = 1 + 5·|boxmean31(mask) − mask|
+    emphasizes boundary pixels. pred/mask: (B, H, W) probabilities in [0, 1].
+    """
+    pred = pred.astype(jnp.float32)
+    mask = mask.astype(jnp.float32)
+    weit = 1.0 + 5.0 * jnp.abs(_box_mean_2d(mask, 31) - mask)
+    eps = 1e-7
+    p = jnp.clip(pred, eps, 1.0 - eps)
+    wbce = -(mask * jnp.log(p) + (1.0 - mask) * jnp.log(1.0 - p))
+    wbce = jnp.sum(weit * wbce, axis=(1, 2)) / jnp.sum(weit, axis=(1, 2))
+    inter = jnp.sum(pred * mask * weit, axis=(1, 2))
+    union = jnp.sum((pred + mask) * weit, axis=(1, 2))
+    wiou = 1.0 - (inter + 1.0) / (union - inter + 1.0)
+    return jnp.mean(wbce + wiou)
+
+
+def loss_sup(logit_s1, logit_s2, labels_s1, labels_s2) -> jnp.ndarray:
+    """Two-branch supervised weighted loss (losses.py:422-427)."""
+    return weighted_bce_iou_loss(logit_s1, labels_s1) + weighted_bce_iou_loss(
+        logit_s2, labels_s2
+    )
+
+
+def loss_diff(u_pred_1: jnp.ndarray, u_pred_2: jnp.ndarray) -> jnp.ndarray:
+    """Symmetric cross-branch difference loss (losses.py:430-443): each
+    branch's weighted loss against the other's stop-gradient prediction.
+    The reference .item()s both terms (no gradient) — kept as stop_gradient
+    on the whole sum to preserve value semantics."""
+    a = weighted_bce_iou_loss(u_pred_1, jax.lax.stop_gradient(u_pred_2))
+    b = weighted_bce_iou_loss(u_pred_2, jax.lax.stop_gradient(u_pred_1))
+    return jax.lax.stop_gradient(a + b)
 
 
 def focal_loss(

@@ -20,11 +20,36 @@ from mamba_unet_tpu.train.optim import poly_sgd
 from mamba_unet_tpu.train.state import TrainState, create_train_state
 from mamba_unet_tpu.train.trainer import TrainConfig, Trainer
 
-# MAD pretraining IS the base fully-supervised Trainer: plug a UNet with
-# in_chns=num_classes and the MADPretrainTransform dataset transform
-# (data/mad_augment.py). No new step logic needed — kept as an alias for
-# discoverability.
-MADPretrainTrainer = Trainer
+class MADPretrainTrainer(Trainer):
+    """MAD pretraining IS the base fully-supervised step (corrupted one-hot
+    label in, clean label target) — only the VALIDATION protocol differs:
+    the denoiser is evaluated on corrupted label slices, not images
+    (val_2D.py:54-78). ``transform`` supplies ``mask_label_only``."""
+
+    def __init__(self, model, config: TrainConfig, transform=None, **kw):
+        self.transform = transform
+        super().__init__(model, config, **kw)
+
+    def evaluate(self, val_dataset, detailed: bool = False):
+        import numpy as np
+
+        from mamba_unet_tpu.eval import test_single_volume_mad
+
+        cfg = self.config
+        pf = self.predict_fn()
+        metrics = []
+        for i in range(len(val_dataset)):
+            v = val_dataset[i]
+            metrics.append(test_single_volume_mad(
+                v["label"], pf, cfg.num_classes,
+                corrupt_fn=self.transform.mask_label_only,
+                patch_size=cfg.patch_size, batch_size=cfg.eval_batch_size,
+            ))
+        arr = np.asarray(metrics)
+        mean_dice = float(arr[:, :, 0].mean())
+        if detailed:
+            return mean_dice, arr.mean(axis=0)
+        return mean_dice
 
 
 class MADState(struct.PyTreeNode):
@@ -36,7 +61,12 @@ class MADState(struct.PyTreeNode):
 
 class MADFineTuneTrainer(Trainer):
     """Stacked fine-tuning: seg -> softmax -> {mad (blend with mask_label),
-    den}; three independently-optimized models; summed loss."""
+    den}; three independently-optimized models; summed loss.
+
+    NOTE a reference defect NOT replicated: MAD_FineTuning.py:118 computes
+    ``mad_outputs_soft = softmax(seg_outputs)`` — the mad Dice term there is
+    accidentally evaluated on the SEG model's softmax. Here the mad Dice uses
+    the mad model's own output (the evident intent)."""
 
     def __init__(self, seg_model, mad_model, config: TrainConfig, **kw):
         self.mad_model = mad_model
@@ -56,6 +86,46 @@ class MADFineTuneTrainer(Trainer):
             den=mk(mad_model, x_mad, cfg.seed + 2),
         )
         self._mad_step = jax.jit(self._train_step3, donate_argnums=(0,))
+        self._den_predict = None
+
+    def den_predict_fn(self):
+        """Jitted denoiser forward on the 'den' (reference 'ema') model."""
+        if self._den_predict is None:
+
+            @jax.jit
+            def fwd(params, batch_stats, x):
+                v = {"params": params}
+                if batch_stats:
+                    v["batch_stats"] = batch_stats
+                out = self.mad_model.apply(v, x)
+                return out[0] if isinstance(out, (tuple, list)) else out
+
+            self._den_predict = fwd
+        st = self.mad_state.den
+        return lambda x: self._den_predict(st.params, st.batch_stats, x)
+
+    def evaluate(self, val_dataset, detailed: bool = False):
+        """Stacked validation: argmax(den(softmax(seg(x)))) vs label
+        (val_2D.py:80-103 test_single_volume_for_trainLabel)."""
+        import numpy as np
+
+        from mamba_unet_tpu.eval import test_single_volume_stacked
+
+        cfg = self.config
+        seg_fn = self.predict_fn()
+        den_fn = self.den_predict_fn()
+        metrics = []
+        for i in range(len(val_dataset)):
+            v = val_dataset[i]
+            metrics.append(test_single_volume_stacked(
+                v["image"], v["label"], seg_fn, den_fn, cfg.num_classes,
+                patch_size=cfg.patch_size, batch_size=cfg.eval_batch_size,
+            ))
+        arr = np.asarray(metrics)
+        mean_dice = float(arr[:, :, 0].mean())
+        if detailed:
+            return mean_dice, arr.mean(axis=0)
+        return mean_dice
 
     def _apply_train(self, model, st: TrainState, params, x, rng):
         mutable = ["batch_stats"] if st.batch_stats else []
@@ -80,6 +150,9 @@ class MADFineTuneTrainer(Trainer):
             seg_out, bs_seg = self._apply_train(self.model, ms.seg, p_seg,
                                                 image, r1)
             seg_soft = jax.nn.softmax(seg_out, axis=-1)
+            # mad input detaches seg (MAD_FineTuning.py:114 .detach()); the
+            # 'ema'/den input does NOT (:121 feeds seg_outputs_soft live), so
+            # the den loss backpropagates into the seg model too.
             mask_in = jax.lax.stop_gradient(seg_soft)
             blend = mask_in if mask_label is None else jax.nn.softmax(
                 (mask_in + mask_label) / 2.0, axis=-1
@@ -87,7 +160,7 @@ class MADFineTuneTrainer(Trainer):
             mad_out, bs_mad = self._apply_train(self.mad_model, ms.mad, p_mad,
                                                 blend, r2)
             den_out, bs_den = self._apply_train(self.mad_model, ms.den, p_den,
-                                                mask_in, r3)
+                                                seg_soft, r3)
             seg_loss = supervised_ce_dice(seg_out, label)
             mad_loss = supervised_ce_dice(mad_out, label)
             den_loss = supervised_ce_dice(den_out, label)

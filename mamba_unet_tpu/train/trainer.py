@@ -48,6 +48,7 @@ class TrainConfig:
     eval_every: int = 200
     ckpt_every: int = 3000
     eval_batch_size: int = 16
+    in_channels: int = 1  # model input channels (MAD denoisers eat C=classes)
     seed: int = 1337
     snapshot_dir: Optional[str] = None
     log_every: int = 50
@@ -98,7 +99,7 @@ class Trainer:
 
         cfg = self.config
         sample = jnp.zeros(
-            (cfg.batch_size, *cfg.patch_size, 1), jnp.float32
+            (cfg.batch_size, *cfg.patch_size, cfg.in_channels), jnp.float32
         )
         self.state = create_train_state(
             model, jax.random.key(cfg.seed), sample, self.tx

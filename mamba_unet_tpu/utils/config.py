@@ -107,12 +107,17 @@ def get_config(
 
 
 def build_model_from_config(cfg: Config, num_classes: Optional[int] = None,
-                            img_size: Optional[int] = None):
+                            img_size: Optional[int] = None,
+                            drop_path_rate: Optional[float] = None):
     """The reference wrappers' config->model construction
-    (vision_mamba.py:30-40 / vision_transformer.py:29-46)."""
+    (vision_mamba.py:30-40 / vision_transformer.py:29-46).
+    ``drop_path_rate`` overrides the config value when given (the CLI's
+    --drop_path must apply to config-built models too)."""
     from mamba_unet_tpu.models import MambaUnet, SwinUnet
 
     nc = num_classes or cfg.MODEL.NUM_CLASSES
+    dpr = (drop_path_rate if drop_path_rate is not None
+           else cfg.MODEL.DROP_PATH_RATE)
     if cfg.MODEL.TYPE == "vssm":
         v = cfg.MODEL.VSSM
         dims = [v.EMBED_DIM * 2**i for i in range(len(v.DEPTHS))]
@@ -121,7 +126,7 @@ def build_model_from_config(cfg: Config, num_classes: Optional[int] = None,
             img_size=img_size or cfg.DATA.IMG_SIZE,
             depths=tuple(v.DEPTHS),
             dims=tuple(dims),
-            drop_path_rate=cfg.MODEL.DROP_PATH_RATE,
+            drop_path_rate=dpr,
         )
     if cfg.MODEL.TYPE == "swin":
         s = cfg.MODEL.SWIN
@@ -132,6 +137,6 @@ def build_model_from_config(cfg: Config, num_classes: Optional[int] = None,
             depths=tuple(s.DEPTHS),
             num_heads=tuple(s.NUM_HEADS),
             window_size=s.WINDOW_SIZE,
-            drop_path_rate=cfg.MODEL.DROP_PATH_RATE,
+            drop_path_rate=dpr,
         )
     raise ValueError(f"unknown MODEL.TYPE {cfg.MODEL.TYPE!r}")
