@@ -126,10 +126,82 @@ def fwd_kernel_noloop(A_ref, db_ref, Dsk_ref, u_ref, d_ref, B_ref, C_ref,
     y_ref[:, 0] = (y + Dsk_ref[0][None] * u).astype(y_ref.dtype)
 
 
+def fwd_kernel_v2(A_ref, db_ref, Dsk_ref, u_ref, d_ref, B_ref, C_ref,
+                  y_ref, state_ref, a_ref, du_ref, *, Lc, unroll):
+    """Traffic-minimal: a/du scratch in the I/O dtype (bf16 halves VMEM
+    traffic), b computed in-loop from B_t x du_t, y contraction fused into
+    the loop (no x store, no epilogue pass). State stays fp32."""
+    ck = pl.program_id(3)
+
+    @pl.when(ck == 0)
+    def _():
+        state_ref[:] = jnp.zeros_like(state_ref)
+
+    A = A_ref[0]
+    u = u_ref[:, 0].astype(jnp.float32)
+    raw = d_ref[:, 0].astype(jnp.float32) + db_ref[0][None]
+    dlt = jax.nn.softplus(raw)
+    du = dlt * u
+    du_ref[:] = du.astype(du_ref.dtype)
+    a_ref[:] = jnp.exp(dlt[:, :, None, :] * A[None, None]).astype(a_ref.dtype)
+    Dsk = Dsk_ref[0, 0]
+
+    def body(i, x):
+        for j in range(unroll):
+            t = i * unroll + j
+            a_t = a_ref[:, t].astype(jnp.float32)           # (bt, N, dg)
+            du_t = du_ref[:, t].astype(jnp.float32)         # (bt, dg)
+            B_t = B_ref[:, 0, t].astype(jnp.float32)        # (bt, N)
+            C_t = C_ref[:, 0, t].astype(jnp.float32)        # (bt, N)
+            x = a_t * x + B_t[:, :, None] * du_t[:, None, :]
+            y_t = jnp.sum(C_t[:, :, None] * x, axis=1) + Dsk[None] * (
+                u_ref[:, 0, t].astype(jnp.float32))
+            y_ref[:, 0, t] = y_t.astype(y_ref.dtype)
+        return x
+
+    state_ref[:] = jax.lax.fori_loop(0, Lc // unroll, body, state_ref[:])
+
+
+def fwd_kernel_noalias(A_ref, db_ref, Dsk_ref, u_ref, d_ref, B_ref, C_ref,
+                       y_ref, state_ref, a_ref, b_ref, xs_ref, *, Lc, unroll):
+    """Like base but the loop stores x_t into a slab it never reads
+    (b_ref read-only, xs_ref write-only) — no load-after-store aliasing,
+    so loads can software-pipeline ahead of the serial FMA chain."""
+    ck = pl.program_id(3)
+
+    @pl.when(ck == 0)
+    def _():
+        state_ref[:] = jnp.zeros_like(state_ref)
+
+    A = A_ref[0]
+    u = u_ref[:, 0].astype(jnp.float32)
+    raw = d_ref[:, 0].astype(jnp.float32) + db_ref[0][None]
+    dlt = jax.nn.softplus(raw)
+    du = dlt * u
+    a_ref[:] = jnp.exp(dlt[:, :, None, :] * A[None, None])
+    Bc = B_ref[:, 0].astype(jnp.float32)
+    b_ref[:] = Bc[..., None] * du[:, :, None, :]
+
+    def body(i, x):
+        for j in range(unroll):
+            t = i * unroll + j
+            x = a_ref[:, t] * x + b_ref[:, t]
+            xs_ref[:, t] = x
+        return x
+
+    state_ref[:] = jax.lax.fori_loop(0, Lc // unroll, body, state_ref[:])
+
+    Cc = C_ref[:, 0].astype(jnp.float32)
+    y = jnp.sum(Cc[..., None] * xs_ref[:], axis=2)
+    y_ref[:, 0] = (y + Dsk_ref[0][None] * u).astype(y_ref.dtype)
+
+
 KERNELS = {
     "base": fwd_kernel_base,
     "fusedy": fwd_kernel_fusedy,
     "noloop": fwd_kernel_noloop,
+    "v2": fwd_kernel_v2,
+    "noalias": fwd_kernel_noalias,
 }
 
 
@@ -146,6 +218,26 @@ def run_variant(kernel_name, u, delta, A_t, Bm, Cm, Dsk, db, *, btile, Lc,
     u, delta, Bm, Cm = padL(u), padL(delta), padL(Bm), padL(Cm)
     grid = (bsz // btile, G, 1, Lp // Lc)
     kernel = functools.partial(KERNELS[kernel_name], Lc=Lc, unroll=unroll)
+    if kernel_name == "v2":
+        io = u.dtype
+        scratch = [
+            pltpu.VMEM((btile, n, dg), jnp.float32),
+            pltpu.VMEM((btile, Lc, n, dg), io),
+            pltpu.VMEM((btile, Lc, dg), io),
+        ]
+    elif kernel_name == "noalias":
+        scratch = [
+            pltpu.VMEM((btile, n, dg), jnp.float32),
+            pltpu.VMEM((btile, Lc, n, dg), jnp.float32),
+            pltpu.VMEM((btile, Lc, n, dg), jnp.float32),
+            pltpu.VMEM((btile, Lc, n, dg), jnp.float32),
+        ]
+    else:
+        scratch = [
+            pltpu.VMEM((btile, n, dg), jnp.float32),
+            pltpu.VMEM((btile, Lc, n, dg), jnp.float32),
+            pltpu.VMEM((btile, Lc, n, dg), jnp.float32),
+        ]
     y = pl.pallas_call(
         kernel,
         grid=grid,
@@ -161,11 +253,7 @@ def run_variant(kernel_name, u, delta, A_t, Bm, Cm, Dsk, db, *, btile, Lc,
         out_specs=pl.BlockSpec((btile, 1, Lc, dg),
                                lambda b, g, dt, ck: (b, g, ck, dt)),
         out_shape=jax.ShapeDtypeStruct((bsz, G, Lp, dg), u.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((btile, n, dg), jnp.float32),
-            pltpu.VMEM((btile, Lc, n, dg), jnp.float32),
-            pltpu.VMEM((btile, Lc, n, dg), jnp.float32),
-        ],
+        scratch_shapes=scratch,
     )(A_t, db, Dsk, u, delta, Bm, Cm)
     return y[:, :, :L]
 
@@ -210,12 +298,14 @@ def main():
 
         budget = 12 * 1024 * 1024
         dgp = -(-dg // 128) * 128
-        for name in ("base", "fusedy", "noloop"):
+        for name in ("v2", "base"):
             for btile in (8, 4, 2):
                 if BATCH % btile:
                     continue
-                n_scr = 3
-                per_step = n_scr * btile * n * dgp * 4
+                if name == "v2":
+                    per_step = btile * (n + 1) * dgp * 2
+                else:
+                    per_step = 3 * btile * n * dgp * 4
                 maxlc = (budget // per_step // 16) * 16
                 for Lc in sorted({16, 32, 64, 128, 256} & set(
                         range(16, maxlc + 1, 16))):

@@ -21,6 +21,10 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(description="TPU-native Mamba-UNet training")
     p.add_argument("--root_path", type=str, default="../data/ACDC")
     p.add_argument("--exp", type=str, default="ACDC/Fully_Supervised")
+    p.add_argument("--dataset", type=str, default="acdc",
+                   choices=["acdc", "btcv"],
+                   help="acdc = 2-D slice pipeline; btcv = 3-D volume "
+                        "pipeline (MagicNet, train_Semi_MagicNet_3D_*)")
     p.add_argument("--model", type=str, default="unet")
     p.add_argument("--method", type=str, default="fully_supervised",
                    choices=["fully_supervised", "mean_teacher", "uamt",
@@ -39,7 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--labeled_num", type=int, default=140,
                    help="labeled patients (patients_to_slices table)")
     p.add_argument("--base_lr", type=float, default=0.01)
-    p.add_argument("--patch_size", type=int, nargs=2, default=[256, 256])
+    p.add_argument("--patch_size", type=int, nargs="+", default=[256, 256],
+                   help="2 ints (2-D) or 3 ints (3-D volumes)")
     p.add_argument("--num_classes", type=int, default=4)
     p.add_argument("--seed", type=int, default=1337)
     p.add_argument("--eval_every", type=int, default=200)
@@ -100,7 +105,7 @@ def main(argv=None) -> int:
     from mamba_unet_tpu.train import TrainConfig, Trainer
 
     root = args.root_path
-    if args.synthetic:
+    if args.synthetic and args.dataset == "acdc":
         root = os.path.join(tempfile.gettempdir(), "synthetic_acdc")
         if not os.path.isfile(os.path.join(root, "train_slices.list")):
             make_synthetic_acdc(
@@ -146,6 +151,47 @@ def main(argv=None) -> int:
         snapshot_dir=args.snapshot_dir,
         in_channels=(args.num_classes if args.method == "mad_pretrain" else 1),
     )
+
+    if args.dataset == "btcv":
+        # --- the 3-D MagicNet volume pipeline ---------------------------
+        # (train_Semi_MagicNet_3D_for_BTCV.py:114-393: TwoStream volume
+        # batches, RandomCrop to patch, MagicNetTrainer, sliding-window
+        # validation — assembled here end-to-end)
+        from mamba_unet_tpu.data.btcv import (
+            Compose3D,
+            RandomCrop3D,
+            VolumeTrainDataset,
+            make_synthetic_btcv,
+        )
+        from mamba_unet_tpu.train.magicnet import MagicNetTrainer
+
+        assert args.method == "magicnet", (
+            "--dataset btcv drives the MagicNet 3-D pipeline; pass "
+            "--method magicnet --model magicnet"
+        )
+        assert len(cfg.patch_size) == 3, "--patch_size needs 3 ints for btcv"
+        if args.synthetic:
+            root = os.path.join(tempfile.gettempdir(), "synthetic_btcv")
+            if not os.path.isfile(os.path.join(root, "train.list")):
+                make_synthetic_btcv(root, n_train=6, n_val=1,
+                                    size=args.patch_size[0])
+        train_ds = VolumeTrainDataset(
+            root, "train.list",
+            transform=Compose3D([RandomCrop3D(cfg.patch_size, seed=args.seed)]),
+        )
+        val_ds = VolumeTrainDataset(root, "val.list")
+        n_labeled = (min(args.labeled_num, len(train_ds) - 1)
+                     if not args.synthetic else max(2, len(train_ds) // 3))
+        sampler = TwoStreamBatchSampler(
+            range(n_labeled), range(n_labeled, len(train_ds)),
+            cfg.batch_size, cfg.batch_size - args.labeled_bs, seed=args.seed,
+        )
+        trainer = MagicNetTrainer(model, cfg, labeled_bs=args.labeled_bs,
+                                  cube_size=args.cube_size)
+        result = trainer.fit(Loader(train_ds, sampler), val_ds)
+        logging.info("done: %d iterations, best val dice %.4f",
+                     result["iterations"], result["best_dice"])
+        return 0
 
     mad_transform = None
     if args.method == "mad_pretrain":

