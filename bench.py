@@ -2,10 +2,16 @@
 
 Prints ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
 
-Baseline derivation (BASELINE.md): the reference full Mamba-UNet run is
-~5 h for 10k iterations at bs24 on an RTX 3090 (MambaUNet.pdf §experiments)
-=> ~13.3 slices/sec as the reference-hardware training throughput anchor.
-vs_baseline = measured / 13.3.
+Baseline derivation (BASELINE.md / BASELINE.json): the target is >=5x *A100*
+training slices/sec. The reference publishes only an RTX-3090 wall-clock:
+~5 h for 10k iterations at bs24 (MambaUNet.pdf §experiments)
+  => 10_000 * 24 / (5*3600) ≈ 13.33 slices/s on an RTX 3090.
+A100 scaling for this mixed compute/bandwidth workload: A100-80G has 2.0 TB/s
+HBM vs the 3090's 0.94 TB/s (2.13x) and 312 bf16 TFLOP/s vs ~142 fp16 tensor
+TFLOP/s (2.2x); published PyTorch training benchmarks put A100 at ~2-2.5x a
+3090. We take the AGGRESSIVE end, 2.5x, as the anchor:
+  A100 anchor = 13.33 * 2.5 ≈ 33.33 slices/s
+  vs_baseline = measured / 33.33   (target: >= 5.0)
 """
 
 from __future__ import annotations
@@ -13,7 +19,9 @@ from __future__ import annotations
 import json
 import time
 
-BASELINE_SLICES_PER_SEC = 10_000 * 24 / (5 * 3600)  # ≈ 13.33
+RTX3090_SLICES_PER_SEC = 10_000 * 24 / (5 * 3600)   # ≈ 13.33 (published run)
+A100_SCALING = 2.5                                    # aggressive A100:3090
+BASELINE_SLICES_PER_SEC = RTX3090_SLICES_PER_SEC * A100_SCALING  # ≈ 33.33
 
 
 def main() -> None:
@@ -75,7 +83,9 @@ def main() -> None:
             {
                 "metric": "mamba_unet_train_slices_per_sec",
                 "value": round(slices_per_sec, 2),
-                "unit": "slices/sec/chip (bs24@224², bf16 compute, fp32 scan state)",
+                "unit": "slices/sec/chip (bs24@224², bf16 compute, fp32 scan "
+                        "state); vs_baseline = x over a 33.33 slices/s A100 "
+                        "anchor (2.5x the published RTX-3090 run)",
                 "vs_baseline": round(slices_per_sec / BASELINE_SLICES_PER_SEC, 2),
             }
         )

@@ -73,7 +73,7 @@ class MambaLayer(nn.Module):
         spatial = x.shape[1:-1]
         c = x.shape[-1]
         tokens = x.reshape(b, -1, c)
-        h = nn.LayerNorm(dtype=self.dtype)(tokens)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(tokens)
         h = Mamba(
             d_model=self.dim, d_state=self.d_state, bimamba_type="v2",
             scan_impl=self.scan_impl, dtype=self.dtype, name="mamba",

@@ -78,7 +78,7 @@ class SwinUnetSys(nn.Module):
             x = stage(i, f"layers_{i}")(x, deterministic)
             if i < n_layers - 1:
                 x = PatchMerging2D(dtype=self.dtype, name=f"downsample_{i}")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
         for i in range(n_layers):
             mirror = n_layers - 1 - i
@@ -93,7 +93,7 @@ class SwinUnetSys(nn.Module):
                 x = stage(mirror, f"layers_up_{i}")(x, deterministic)
                 if i < n_layers - 1:
                     x = PatchExpand2D(dtype=self.dtype, name=f"upsample_{i}")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm_up")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_up")(x)
 
         x = FinalPatchExpand2D(scale=self.patch_size, dtype=self.dtype, name="up")(x)
         x = nn.Conv(

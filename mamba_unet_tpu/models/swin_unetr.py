@@ -83,7 +83,7 @@ class SwinBlock3D(nn.Module):
         hd = c // nh
 
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if shift > 0:
             x = jnp.roll(x, (-shift,) * 3, axis=(1, 2, 3))
         wins = window_partition_3d(x, ws)
@@ -115,7 +115,7 @@ class SwinBlock3D(nn.Module):
             x = jnp.roll(x, (shift,) * 3, axis=(1, 2, 3))
         x = shortcut + DropPath(self.drop_path)(x, deterministic)
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(int(c * self.mlp_ratio), kernel_init=trunc_normal_init(),
                      dtype=self.dtype, name="fc1")(y)
         y = nn.gelu(y)
@@ -133,7 +133,7 @@ class PatchMerging3D(nn.Module):
         parts = [x[:, i::2, j::2, k::2] for i in range(2) for j in range(2)
                  for k in range(2)]
         x = jnp.concatenate(parts, axis=-1)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return nn.Dense(2 * c, use_bias=False, kernel_init=trunc_normal_init(),
                         dtype=self.dtype, name="reduction")(x)
 

@@ -29,13 +29,13 @@ class ViTBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.heads, dtype=self.dtype,
             kernel_init=trunc_normal_init(),
         )(h, h)
         x = x + h
-        h = nn.LayerNorm(dtype=self.dtype)(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)(x)
         h = nn.Dense(self.mlp_dim, kernel_init=trunc_normal_init(),
                      dtype=self.dtype)(h)
         h = nn.gelu(h)

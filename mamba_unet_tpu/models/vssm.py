@@ -87,7 +87,7 @@ class VSSM(nn.Module):
             )(x, deterministic)
             if i < n_layers - 1:
                 x = PatchMerging2D(dtype=self.dtype, name=f"downsample_{i}")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
         # --- decoder (mamba_sys.py:804-815) ---
         for i in range(n_layers):
@@ -111,7 +111,7 @@ class VSSM(nn.Module):
                 )(x, deterministic)
                 if i < n_layers - 1:
                     x = PatchExpand2D(dtype=self.dtype, name=f"upsample_{i}")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm_up")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_up")(x)
 
         # --- head (mamba_sys.py:816-824) ---
         x = FinalPatchExpand2D(scale=self.patch_size, dtype=self.dtype, name="up")(x)

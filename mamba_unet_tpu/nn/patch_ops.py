@@ -36,7 +36,7 @@ class PatchEmbed2D(nn.Module):
             name="proj",
         )(x)
         if self.use_norm:
-            x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+            x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x
 
 
@@ -58,7 +58,7 @@ class PatchMerging2D(nn.Module):
         x2 = x[:, 0::2, 1::2, :]
         x3 = x[:, 1::2, 1::2, :]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(
             2 * c,
             use_bias=False,
@@ -90,7 +90,7 @@ class PatchExpand2D(nn.Module):
         c_out = c // 2
         x = x.reshape(bsz, H, W, 2, 2, c_out)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, 2 * H, 2 * W, c_out)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x
 
 
@@ -116,5 +116,5 @@ class FinalPatchExpand2D(nn.Module):
         )(x)
         x = x.reshape(bsz, H, W, s, s, c)
         x = x.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, s * H, s * W, c)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x

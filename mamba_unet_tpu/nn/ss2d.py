@@ -236,7 +236,7 @@ class SS2D(nn.Module):
                 implementation=self.scan_impl,
             )  # (B, K*d_inner, L) — promoted to fp32 internally
             y = cross_merge(out.reshape(bsz, K, d_inner, L), H, W)
-        y = nn.LayerNorm(dtype=self.dtype, name="out_norm")(y.astype(self.dtype))
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="out_norm")(y.astype(self.dtype))
 
         y = y * nn.silu(z)
         out = nn.Dense(

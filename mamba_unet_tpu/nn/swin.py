@@ -137,7 +137,7 @@ class SwinBlock(nn.Module):
             ws, shift = min(H, W), 0
 
         shortcut = x
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(x)
         if shift > 0:
             x = jnp.roll(x, shift=(-shift, -shift), axis=(1, 2))
         wins = window_partition(x, ws)
@@ -152,7 +152,7 @@ class SwinBlock(nn.Module):
             x = jnp.roll(x, shift=(shift, shift), axis=(1, 2))
         x = shortcut + DropPath(self.drop_path)(x, deterministic)
 
-        y = nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(x)
         y = nn.Dense(
             int(c * self.mlp_ratio), kernel_init=trunc_normal_init(),
             dtype=self.dtype, name="mlp_fc1",

@@ -1,0 +1,150 @@
+"""Activation-level parity: flax VSSM vs the reference torch VSSM.
+
+The strongest parity evidence available without the real ACDC data: build the
+reference ``code/networks/mamba_sys.VSSM`` on CPU with its pure-PyTorch
+``selective_scan_ref`` patched in place of the CUDA op (the reference's own
+fallback semantics, selective_scan_interface.py:86-152), convert its state
+dict with utils/convert.convert_vssm, and assert the flax VSSM produces the
+same logits (and the same patch-embed activations) on the same input.
+
+Reference deps not present in this env (timm, fvcore, the CUDA extension
+modules) are stubbed — none of them affect eval-mode numerics (DropPath is
+identity at drop_prob=0; fvcore is only used by the FLOPs hooks).
+"""
+
+import importlib.util
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF_MAMBA_SYS = "/root/reference/code/networks/mamba_sys.py"
+REF_SSI = "/root/reference/mamba/mamba_ssm/ops/selective_scan_interface.py"
+
+
+def _stub_module(name, **attrs):
+    mod = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(mod, k, v)
+    sys.modules[name] = mod
+    return mod
+
+
+def _load_reference_vssm():
+    import torch.nn as nn
+
+    class DropPath(nn.Module):
+        def __init__(self, drop_prob=0.0):
+            super().__init__()
+            self.drop_prob = drop_prob
+
+        def forward(self, x):  # eval-mode / drop_prob=0 => identity
+            return x
+
+    def trunc_normal_(tensor, mean=0.0, std=1.0, a=-2.0, b=2.0):
+        with torch.no_grad():
+            tensor.normal_(mean, std).clamp_(a * std, b * std)
+        return tensor
+
+    timm = _stub_module("timm")
+    timm_models = _stub_module("timm.models")
+    timm_layers = _stub_module(
+        "timm.models.layers", DropPath=DropPath, trunc_normal_=trunc_normal_
+    )
+    timm.models = timm_models
+    timm_models.layers = timm_layers
+
+    fv = _stub_module("fvcore")
+    fvn = _stub_module(
+        "fvcore.nn",
+        FlopCountAnalysis=object,
+        flop_count_str=lambda *a, **k: "",
+        flop_count=lambda *a, **k: ({}, {}),
+        parameter_count=lambda *a, **k: {},
+    )
+    fv.nn = fvn
+
+    _stub_module("causal_conv1d", causal_conv1d_fn=None)
+    _stub_module("causal_conv1d_cuda")
+    _stub_module("selective_scan_cuda")
+
+    # pure-torch reference scan (bypasses the package __init__ which would
+    # pull in triton)
+    spec = importlib.util.spec_from_file_location("_ref_ssi", REF_SSI)
+    ssi = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_ssi"] = ssi
+    spec.loader.exec_module(ssi)
+
+    spec = importlib.util.spec_from_file_location("_ref_mamba_sys", REF_MAMBA_SYS)
+    ms = importlib.util.module_from_spec(spec)
+    sys.modules["_ref_mamba_sys"] = ms
+    spec.loader.exec_module(ms)
+    ms.selective_scan_fn = ssi.selective_scan_ref  # CUDA -> pure torch
+    return ms
+
+
+@pytest.fixture(scope="module")
+def ref_mamba_sys():
+    return _load_reference_vssm()
+
+
+def test_vssm_logits_match_reference(ref_mamba_sys, rng):
+    import jax
+    import jax.numpy as jnp
+
+    from mamba_unet_tpu.models.vssm import VSSM
+    from mamba_unet_tpu.utils.convert import convert_vssm
+
+    depths, dims, d_state, nc = (1, 1, 1, 1), (8, 16, 32, 64), 4, 3
+    tm = ref_mamba_sys.VSSM(
+        patch_size=4, in_chans=3, num_classes=nc, depths=list(depths),
+        dims=list(dims), d_state=d_state, drop_path_rate=0.0,
+    ).eval()
+
+    x = rng.normal(size=(2, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))  # NCHW in
+    want = want.numpy().transpose(0, 2, 3, 1)                 # -> NHWC
+
+    fm = VSSM(num_classes=nc, depths=depths, dims=dims, d_state=d_state,
+              drop_path_rate=0.0, scan_impl="xla")
+    variables = jax.jit(fm.init)(jax.random.key(0), jnp.asarray(x))
+
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params, report = convert_vssm(sd, variables["params"],
+                                  mirror_decoder=False)
+    assert not report["missing"], f"unconverted params: {report['missing']}"
+
+    got = np.asarray(fm.apply({"params": params}, jnp.asarray(x)))
+    assert got.shape == want.shape
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_vssm_bidir_matches_reference(ref_mamba_sys, rng):
+    """Same comparison through the Pallas bidir path (interpret mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mamba_unet_tpu.models.vssm import VSSM
+    from mamba_unet_tpu.utils.convert import convert_vssm
+
+    depths, dims, d_state, nc = (1, 1, 1, 1), (8, 16, 32, 64), 4, 3
+    tm = ref_mamba_sys.VSSM(
+        patch_size=4, in_chans=3, num_classes=nc, depths=list(depths),
+        dims=list(dims), d_state=d_state, drop_path_rate=0.0,
+    ).eval()
+    x = rng.normal(size=(1, 64, 64, 3)).astype(np.float32)
+    with torch.no_grad():
+        want = tm(torch.from_numpy(x.transpose(0, 3, 1, 2)))
+    want = want.numpy().transpose(0, 2, 3, 1)
+
+    fm = VSSM(num_classes=nc, depths=depths, dims=dims, d_state=d_state,
+              drop_path_rate=0.0, scan_impl="bidir")
+    variables = jax.jit(fm.init)(jax.random.key(0), jnp.asarray(x))
+    sd = {k: v.detach().numpy() for k, v in tm.state_dict().items()}
+    params, _ = convert_vssm(sd, variables["params"], mirror_decoder=False)
+    got = np.asarray(fm.apply({"params": params}, jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
