@@ -36,6 +36,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--opts", nargs="*", default=None,
                    help="config overrides: KEY VALUE pairs")
     p.add_argument("--cube_size", type=int, default=32)
+    p.add_argument("--mask_recovery", action="store_true",
+                   help="magicnet: add shuffle/mask recovery aux losses "
+                        "(the _mask script variants; needs a model with "
+                        "forward_mix_pos_mask, e.g. magicnet_2D_mask or "
+                        "MambaUnetMask)")
+    p.add_argument("--masked_rate", type=float, default=0.25)
     p.add_argument("--max_iterations", type=int, default=10000)
     p.add_argument("--batch_size", type=int, default=24)
     p.add_argument("--labeled_bs", type=int, default=8,
@@ -289,7 +295,9 @@ def main(argv=None) -> int:
             from mamba_unet_tpu.train.magicnet import MagicNetTrainer
 
             trainer = MagicNetTrainer(model, cfg, labeled_bs=args.labeled_bs,
-                                      cube_size=args.cube_size)
+                                      cube_size=args.cube_size,
+                                      mask_recovery=args.mask_recovery,
+                                      masked_rate=args.masked_rate)
         elif args.method == "contrastive_consistency":
             from mamba_unet_tpu.train.contrastive_cc import (
                 ContrastiveConsistencyTrainer,

@@ -22,9 +22,10 @@ _REGISTRY: Dict[str, Callable] = {}
 _LAZY: Dict[str, tuple] = {
     "ViM_seg": ("mamba_unet_tpu.models.vssm", "MambaUnet"),
     "mambaunet": ("mamba_unet_tpu.models.vssm", "MambaUnet"),
-    # mamba_2D_mask.py's MambaUnetMask is the identical wrapper
-    # (SURVEY §2.5); registered as an alias.
-    "MambaUnetMask": ("mamba_unet_tpu.models.vssm", "MambaUnet"),
+    # The REAL Mamba mask model (upstream mamba_2D_mask.py's class lacks the
+    # cube/mask heads its training script calls — built here; see
+    # models/mamba_mask.py docstring).
+    "MambaUnetMask": ("mamba_unet_tpu.models.mamba_mask", "MambaUnetMask"),
     "swinunetr": ("mamba_unet_tpu.models.swin_unetr", "SwinUNETR"),
 }
 

@@ -72,7 +72,8 @@ class MagicNetTrainer(Trainer):
                  cube_size: int = 32, consistency: float = 0.1,
                  consistency_rampup: float = 200.0, rampup_stride: int = 350,
                  t_dist: float = 0.1, ema_decay: float = 0.99,
-                 blend_after: int = 100, **kw):
+                 blend_after: int = 100, mask_recovery: bool = False,
+                 masked_rate: float = 0.25, **kw):
         self.labeled_bs = labeled_bs
         self.cube_size = cube_size
         self.consistency = consistency
@@ -81,6 +82,12 @@ class MagicNetTrainer(Trainer):
         self.t_dist = t_dist
         self.ema_decay = ema_decay
         self.blend_after = blend_after
+        # mask_recovery: the _mask script variants
+        # (train_Semi_MagicNet_2D_mask.py:266-269 and
+        # train_Semi_Mamba_2D_mask.py:241-246) — adds shuffle/mask recovery
+        # MSE terms on the model's mix-out head (forward_mix_pos_mask).
+        self.mask_recovery = mask_recovery
+        self.masked_rate = masked_rate
         self.dist_logger = OrganClassLogger(config.num_classes)
         self._hist_accum = []
         super().__init__(model, config, **kw)
@@ -120,7 +127,7 @@ class MagicNetTrainer(Trainer):
         lb = self.labeled_bs
         num_classes = cfg.num_classes
         rng = jax.random.fold_in(jax.random.key(cfg.seed), state.step)
-        r_mix, r_noise, r_loc = jax.random.split(rng, 3)
+        r_mix, r_noise, r_loc, r_shuf, r_mask = jax.random.split(rng, 5)
         image, label = batch["image"], batch["label"]
         class_dist = batch["class_dist"]  # (C,) host-maintained histogram
         bsz = image.shape[0]
@@ -206,11 +213,51 @@ class MagicNetTrainer(Trainer):
             )
             total = sup / 4.0 + 0.1 * loc_loss + w * cons
 
+            loc_recv = 0.0
+            if self.mask_recovery:
+                # shuffle/mask recovery aux (train_Semi_Mamba_2D_mask.py:
+                # 241-246). Intended composition: clean-vs-shuffled MSE +
+                # clean-vs-masked MSE + shuffled-vs-masked MSE. The reference
+                # line `mask_recovery_shuffled_loss = shuffled_loss =
+                # F.mse_loss(pos_embed_pre, pos_embed_mask)` OVERWRITES the
+                # shuffled-recovery term with the cross term (counting it
+                # twice and dropping clean-vs-shuffled) — implemented here as
+                # written-in-intent, defect not replicated.
+                from mamba_unet_tpu.objectives.masked import (
+                    make_masked_input,
+                    make_shuffled_input,
+                    recovery_mse,
+                )
+
+                shuffled, perms = make_shuffled_input(r_shuf, image,
+                                                      self.cube_size)
+                masked, vis = make_masked_input(r_mask, image, self.cube_size,
+                                                self.masked_rate)
+
+                def mix_head(x, pos_embed=None, mask=None):
+                    out, _ = self.model.apply(
+                        v, x, pos_embed, mask, method="forward_mix_pos_mask",
+                        deterministic=False, mutable=["batch_stats"],
+                        rngs={"dropout": r_loc},
+                    )
+                    return out
+
+                clean_emb = mix_head(image)
+                shuf_emb = mix_head(shuffled,
+                                    pos_embed=perms.astype(jnp.float32))
+                mask_emb = mix_head(masked, mask=vis)
+                loc_recv = (recovery_mse(clean_emb, shuf_emb)
+                            + recovery_mse(clean_emb, mask_emb)
+                            + recovery_mse(shuf_emb, mask_emb))
+                total = total + loc_recv
+
             hist_src = jnp.where(use_blend, blend_class, teacher_class)
             hist = jnp.bincount(hist_src.reshape(-1), length=num_classes)
             logs = {"loss_total": total, "loss_sup": sup / 4.0,
                     "loss_loc": loc_loss, "loss_cons": cons, "cons_weight": w,
                     "class_hist": hist}
+            if self.mask_recovery:
+                logs["loss_recv"] = loc_recv
             return total, logs
 
         (loss, logs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
