@@ -27,6 +27,28 @@ jax.config.update("jax_platforms", _platform)
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The `-m fast` subset (VERDICT r1 #9): kernel differential tests + losses +
+# metrics + pure data ops — the correctness core, ~6 min on this single-core
+# host vs ~45 min for the full suite. Milestone cadence runs everything.
+_FAST_MODULES = {
+    "test_selective_scan",
+    "test_losses",
+    "test_metrics",
+    "test_cross_scan",
+    "test_cube",
+    "test_data",
+    "test_ctaugment",
+    "test_native",
+    "test_vat_sdf",
+    "test_lm_eval",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.module.__name__ in _FAST_MODULES:
+            item.add_marker(pytest.mark.fast)
+
 
 @pytest.fixture
 def rng():
