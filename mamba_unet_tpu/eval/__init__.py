@@ -11,6 +11,7 @@ from mamba_unet_tpu.eval.metrics import (
     calculate_metric_percase_full,
 )
 from mamba_unet_tpu.eval.inference import (
+    evaluate_slice_volumes,
     test_single_volume,
     test_single_volume_mad,
     test_single_volume_stacked,
@@ -26,6 +27,7 @@ __all__ = [
     "surface_distances",
     "calculate_metric_percase",
     "calculate_metric_percase_full",
+    "evaluate_slice_volumes",
     "test_single_volume",
     "test_single_volume_mad",
     "test_single_volume_stacked",

@@ -98,6 +98,55 @@ def _predict_batched(
     return np.concatenate(preds, axis=0)
 
 
+def evaluate_slice_volumes(
+    volumes,
+    predict_fn: Callable[[np.ndarray], np.ndarray],
+    classes: int,
+    patch_size: Sequence[int] = (256, 256),
+    batch_size: int = 16,
+) -> np.ndarray:
+    """Batched whole-val-set slice inference.
+
+    The reference evaluates volume-by-volume at bs=1 per slice
+    (val_2D.py:31-52); ``test_single_volume`` batches within a volume but
+    still pads every per-volume tail to ``batch_size``. Here ALL volumes'
+    slices are resized on host, concatenated, and streamed through the
+    jitted ``predict_fn`` in fixed-size chunks — only the single global tail
+    is padded (with eval-every-200 on 20 val volumes this removes ~20 padded
+    part-batches per eval). Semantics are unchanged: per-slice order-0 zoom
+    to patch size, argmax, zoom back, metrics at native resolution.
+
+    ``volumes``: iterable of dicts with (Z, H, W) ``image``/``label``.
+    Returns (cases, classes-1, 2) [dice, hd95].
+    """
+    vols = [(np.asarray(v["image"]), np.asarray(v["label"])) for v in volumes]
+    ps = tuple(patch_size)
+
+    all_slices, spans = [], []
+    for image, _ in vols:
+        z, x, y = image.shape
+        start = len(all_slices)
+        if (x, y) != ps:
+            all_slices.extend(_zoom0(image[i], ps) for i in range(z))
+        else:
+            all_slices.extend(image)
+        spans.append((start, len(all_slices), (x, y)))
+
+    inp = np.asarray(all_slices, np.float32)[..., None]  # (N, ps, ps, 1)
+    out = _predict_batched(inp, predict_fn, batch_size)
+
+    metrics = []
+    for (start, stop, (x, y)), (_, label) in zip(spans, vols):
+        pred = out[start:stop]
+        if (x, y) != ps:
+            pred = np.stack([_zoom0(p, (x, y)) for p in pred])
+        metrics.append([
+            calculate_metric_percase(pred == i, label == i)
+            for i in range(1, classes)
+        ])
+    return np.asarray(metrics)
+
+
 def test_single_volume_mad(
     label: np.ndarray,
     predict_fn: Callable[[np.ndarray], np.ndarray],

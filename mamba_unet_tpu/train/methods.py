@@ -200,8 +200,12 @@ class CrossState(struct.PyTreeNode):
 
 class CrossTeachingTrainer(Trainer):
     """Semi-Mamba-UNet: two networks cross-teaching + contrastive stat loss.
-    ``evaluate``/``predict_fn`` report model 1 (the reference tracks both and
-    checkpoints each; model 1 is the headline)."""
+
+    Checkpoint protocol mirrors ``train_Semi_Mamba_UNet.py:283-352``: BOTH
+    models are evaluated every ``eval_every``, each keeps its own best-Dice
+    checkpoint (``best`` / ``best2``), and a periodic checkpoint carries both
+    param/opt states for kill-and-resume (which the reference lacks — its
+    30k-iteration semi runs restart from zero)."""
 
     def __init__(self, model, config: TrainConfig, model2=None, labeled_bs: int = 8,
                  consistency: float = 0.1, consistency_rampup: float = 200.0, **kw):
@@ -262,19 +266,96 @@ class CrossTeachingTrainer(Trainer):
         s2 = cross.s2.apply_gradients(grads[1], bs2)
         return CrossState(step=cross.step + 1, s1=s1, s2=s2), logs
 
+    def predict_fn2(self):
+        """Jitted slice-inference fn for model 2."""
+        cross = self.cross
+
+        @jax.jit
+        def fwd(params, batch_stats, x):
+            v = {"params": params}
+            if batch_stats:
+                v["batch_stats"] = batch_stats
+            out = self.model2.apply(v, x)
+            return out[0] if isinstance(out, (tuple, list)) else out
+
+        return lambda x: fwd(cross.s2.params, cross.s2.batch_stats, x)
+
+    def evaluate2(self, val_dataset):
+        """Model-2 val Dice (the reference evaluates both models,
+        train_Semi_Mamba_UNet.py:318-352)."""
+        from mamba_unet_tpu.eval import evaluate_slice_volumes
+
+        cfg = self.config
+        arr = evaluate_slice_volumes(
+            (val_dataset[i] for i in range(len(val_dataset))),
+            self.predict_fn2(), cfg.num_classes,
+            patch_size=cfg.patch_size, batch_size=cfg.eval_batch_size,
+        )
+        return float(arr[:, :, 0].mean())
+
+    def _periodic_tree(self):
+        c = self.cross
+        return {"step": c.step,
+                "params1": c.s1.params, "batch_stats1": c.s1.batch_stats,
+                "opt_state1": c.s1.opt_state,
+                "params2": c.s2.params, "batch_stats2": c.s2.batch_stats,
+                "opt_state2": c.s2.opt_state}
+
+    def try_resume(self) -> int:
+        """Restore BOTH models (+opt states) from the newest periodic
+        checkpoint — beyond-reference: the 30k-iter semi runs become
+        preemption-safe."""
+        from mamba_unet_tpu.utils import latest_step, restore_checkpoint
+
+        cfg = self.config
+        if not (cfg.resume and cfg.snapshot_dir):
+            return 0
+        step = latest_step(cfg.snapshot_dir)
+        if step is None:
+            return 0
+        got = restore_checkpoint(cfg.snapshot_dir, step, self._periodic_tree())
+        from mamba_unet_tpu.parallel import replicated
+
+        def step_copy():
+            # each state needs its OWN buffer — the step leaf appears three
+            # times in the donated CrossState and duplicate donation is an
+            # error
+            return jnp.array(got["step"])
+
+        self.cross = jax.device_put(
+            CrossState(
+                step=step_copy(),
+                s1=self.cross.s1.replace(
+                    step=step_copy(), params=got["params1"],
+                    batch_stats=got["batch_stats1"],
+                    opt_state=got["opt_state1"],
+                ),
+                s2=self.cross.s2.replace(
+                    step=step_copy(), params=got["params2"],
+                    batch_stats=got["batch_stats2"],
+                    opt_state=got["opt_state2"],
+                ),
+            ),
+            replicated(self.mesh),
+        )
+        self.state = self.cross.s1
+        from mamba_unet_tpu.train.trainer import log
+
+        log.info("resumed both models from %s @ step %d", cfg.snapshot_dir, step)
+        return int(step)
+
     def fit(self, train_loader, val_dataset=None):
         # reuse the base loop by proxying state through CrossState
         import time
-
-        import numpy as np
 
         from mamba_unet_tpu.train.trainer import log
         from mamba_unet_tpu.utils import save_checkpoint
 
         cfg = self.config
-        best_dice = 0.0
+        best_dice = 0.0   # model 1 (the headline)
+        best_dice2 = 0.0  # model 2
         history = []
-        it = 0
+        it = self.try_resume()
         t0 = time.time()
         for batch in train_loader:
             if it >= cfg.max_iterations:
@@ -293,17 +374,32 @@ class CrossTeachingTrainer(Trainer):
                 history.append({"iter": it, "loss": float(logs["loss_total"])})
             if val_dataset is not None and it % cfg.eval_every == 0:
                 dice = self.evaluate(val_dataset)
-                log.info("iter %d val mean dice (model1) %.4f", it, dice)
-                history.append({"iter": it, "val_dice": dice})
+                dice2 = self.evaluate2(val_dataset)
+                log.info("iter %d val mean dice m1 %.4f m2 %.4f", it, dice, dice2)
+                history.append({"iter": it, "val_dice": dice,
+                                "val_dice2": dice2})
                 if dice > best_dice:
                     best_dice = dice
                     if cfg.snapshot_dir:
                         save_checkpoint(
                             cfg.snapshot_dir, it,
                             {"params": self.cross.s1.params,
-                             "params2": self.cross.s2.params}, name="best",
+                             "batch_stats": self.cross.s1.batch_stats},
+                            name="best",
                         )
-        return {"best_dice": best_dice, "iterations": it, "history": history}
+                if dice2 > best_dice2:
+                    best_dice2 = dice2
+                    if cfg.snapshot_dir:
+                        save_checkpoint(
+                            cfg.snapshot_dir, it,
+                            {"params": self.cross.s2.params,
+                             "batch_stats": self.cross.s2.batch_stats},
+                            name="best2",
+                        )
+            if cfg.snapshot_dir and it % cfg.ckpt_every == 0:
+                save_checkpoint(cfg.snapshot_dir, it, self._periodic_tree())
+        return {"best_dice": best_dice, "best_dice2": best_dice2,
+                "iterations": it, "history": history}
 
 
 def build_semi_method(args, model, cfg: TrainConfig):

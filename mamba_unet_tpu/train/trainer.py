@@ -149,19 +149,18 @@ class Trainer:
 
     def evaluate(self, val_dataset, detailed: bool = False):
         """Mean Dice over val volumes x foreground classes (val_2D protocol).
+        All volumes' slices are streamed through the device in one batched
+        pass (only the global tail padded — see evaluate_slice_volumes).
         ``detailed=True`` additionally returns per-class (dice, hd95) means —
         the reference's per-class val scalars (train_*_2D.py:150-160)."""
+        from mamba_unet_tpu.eval import evaluate_slice_volumes
+
         cfg = self.config
-        pf = self.predict_fn()
-        metrics = []
-        for i in range(len(val_dataset)):
-            v = val_dataset[i]
-            m = test_single_volume(
-                v["image"], v["label"], pf, cfg.num_classes,
-                patch_size=cfg.patch_size, batch_size=cfg.eval_batch_size,
-            )
-            metrics.append(m)
-        arr = np.asarray(metrics)  # (cases, classes-1, 2)
+        arr = evaluate_slice_volumes(
+            (val_dataset[i] for i in range(len(val_dataset))),
+            self.predict_fn(), cfg.num_classes,
+            patch_size=cfg.patch_size, batch_size=cfg.eval_batch_size,
+        )  # (cases, classes-1, 2)
         mean_dice = float(arr[:, :, 0].mean())
         if detailed:
             return mean_dice, arr.mean(axis=0)  # (classes-1, 2)
