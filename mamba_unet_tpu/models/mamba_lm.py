@@ -108,6 +108,39 @@ def _sample_token(rng, logits, temperature=1.0, top_k=1, top_p=0.0):
     return jax.random.categorical(rng, logits, axis=-1)
 
 
+@partial(
+    jax.jit,
+    static_argnames=("model", "max_new_tokens", "temperature", "top_k",
+                     "top_p"),
+)
+def _generate_compiled(model, variables, input_ids, rng, max_new_tokens,
+                       temperature, top_k, top_p):
+    """ONE compiled program: prefill + the whole lax.scan decode + concat.
+
+    The reference needs CUDA-graph capture (generation.py:243-377) to remove
+    per-token launch overhead; here the entire generation is a single XLA
+    executable — one host->device dispatch per generate() call, and the
+    per-token loop body is compiled once (keyed on the model definition and
+    the static sampling config, so repeated calls hit the jit cache)."""
+    sample = partial(_sample_token, temperature=temperature, top_k=top_k,
+                     top_p=top_p)
+    logits, caches = model.apply(variables, input_ids, method="prefill")
+
+    def body(carry, step_rng):
+        token, caches = carry
+        logits, caches = model.apply(
+            variables, token, caches, method="decode_step"
+        )
+        nxt = sample(step_rng, logits)
+        return (nxt, caches), nxt
+
+    first = sample(rng, logits)
+    rngs = jax.random.split(rng, max_new_tokens - 1)
+    (_, _), rest = jax.lax.scan(body, (first, caches), rngs)
+    new = jnp.concatenate([first[None], rest], axis=0)  # (T, B)
+    return jnp.concatenate([input_ids, new.T], axis=1)
+
+
 def generate(
     model: MambaLMHeadModel,
     variables,
@@ -118,31 +151,10 @@ def generate(
     top_p: float = 0.0,
     rng: Optional[jax.Array] = None,
 ):
-    """Jitted prefill + lax.scan decode. Returns (B, L + max_new_tokens)."""
+    """Fused prefill + scan decode. Returns (B, L + max_new_tokens).
+
+    flax Modules hash by definition, so the underlying compiled program is
+    reused across calls with the same (model, lengths, sampling config)."""
     rng = rng if rng is not None else jax.random.key(0)
-
-    @jax.jit
-    def _prefill(variables, ids):
-        return model.apply(variables, ids, method="prefill")
-
-    sample = partial(_sample_token, temperature=temperature, top_k=top_k,
-                     top_p=top_p)
-
-    @jax.jit
-    def _decode(variables, first_logits, caches, rng):
-        def body(carry, step_rng):
-            token, caches = carry
-            logits, caches = model.apply(
-                variables, token, caches, method="decode_step"
-            )
-            nxt = sample(step_rng, logits)
-            return (nxt, caches), nxt
-
-        first = sample(rng, first_logits)
-        rngs = jax.random.split(rng, max_new_tokens - 1)
-        (_, _), rest = jax.lax.scan(body, (first, caches), rngs)
-        return jnp.concatenate([first[None], rest], axis=0)  # (T, B)
-
-    logits, caches = _prefill(variables, input_ids)
-    new = _decode(variables, logits, caches, rng)
-    return jnp.concatenate([input_ids, new.T], axis=1)
+    return _generate_compiled(model, variables, input_ids, rng,
+                              max_new_tokens, temperature, top_k, top_p)
