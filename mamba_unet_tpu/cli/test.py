@@ -39,6 +39,11 @@ def run_inference(args) -> dict:
     # honor JAX_PLATFORMS even when a TPU plugin force-registers itself
     if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.jax_cache")),
+    )
     import jax.numpy as jnp
 
     from mamba_unet_tpu.data import VolumeDataset

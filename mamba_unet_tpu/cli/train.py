@@ -76,6 +76,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="one-hot epsilon for MAD label corruption")
     p.add_argument("--synthetic", action="store_true",
                    help="generate+use a synthetic ACDC-format dataset (smoke/bench)")
+    p.add_argument("--synthetic_spec", type=int, nargs=5, default=None,
+                   metavar=("CASES", "SLICES", "VAL", "TEST", "SIZE"),
+                   help="synthetic dataset scale: train cases, slices/case, "
+                        "val vols, test vols, native slice size (default "
+                        "8 8 2 0 <patch>; the full-protocol evidence run "
+                        "uses the reference scale 140 9 20 40 256)")
     return p
 
 
@@ -90,10 +96,17 @@ def main(argv=None) -> int:
 
     # honor JAX_PLATFORMS even when a TPU plugin force-registers itself and
     # ignores the env var (the config update is the authoritative override)
-    if os.environ.get("JAX_PLATFORMS"):
-        import jax
+    import jax
 
+    if os.environ.get("JAX_PLATFORMS"):
         jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+    # persistent compile cache: full-model first compiles take minutes on a
+    # remote-compile TPU; repeated runs must not pay twice
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                       os.path.expanduser("~/.jax_cache")),
+    )
 
     import jax.numpy as jnp
 
@@ -112,14 +125,20 @@ def main(argv=None) -> int:
 
     root = args.root_path
     if args.synthetic and args.dataset == "acdc":
-        root = os.path.join(tempfile.gettempdir(), "synthetic_acdc")
+        spec = args.synthetic_spec or [8, 8, 2, 0, args.patch_size[0]]
+        cases, slices, n_val, n_test, size = spec
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"synthetic_acdc_{cases}x{slices}v{n_val}t{n_test}s{size}",
+        )
         if not os.path.isfile(os.path.join(root, "train_slices.list")):
             make_synthetic_acdc(
                 root,
-                n_train_cases=8,
-                slices_per_case=8,
-                n_val_cases=2,
-                size=args.patch_size[0],
+                n_train_cases=cases,
+                slices_per_case=slices,
+                n_val_cases=n_val,
+                n_test_cases=n_test,
+                size=size,
             )
 
     kwargs = {"num_classes": args.num_classes}

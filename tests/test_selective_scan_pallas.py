@@ -122,3 +122,37 @@ def test_pallas_bf16_io(rng):
         u.astype(jnp.bfloat16), delta.astype(jnp.bfloat16))
     assert gu.dtype == jnp.bfloat16
     assert np.isfinite(np.asarray(gu, np.float32)).all()
+
+
+def test_kernel_repeated_run_determinism(rng):
+    """Repeated-run bitwise determinism — the role of the reference's
+    test_causal_conv1d_race_condition (causal-conv1d/tests:117-173): the
+    same compiled kernel on the same inputs must produce identical bits
+    every run (catches scratch-reuse/carry races across grid cells). On CPU
+    this exercises interpret mode; with MAMBA_UNET_TPU_TEST_PLATFORM=tpu it
+    runs against the real compiled kernel."""
+    import jax
+    import jax.numpy as jnp
+
+    from mamba_unet_tpu.ops.selective_scan_pallas import (
+        selective_scan_pallas_tm,
+    )
+
+    B, K, L, dg, n = 2, 4, 96, 8, 4
+    u = jnp.asarray(rng.normal(size=(B, K, L, dg)), jnp.float32)
+    dl = jnp.asarray(0.1 * rng.normal(size=(B, K, L, dg)), jnp.float32)
+    A = -jnp.exp(jnp.asarray(rng.normal(size=(K * dg, n)), jnp.float32))
+    Bm = jnp.asarray(rng.normal(size=(B, K, L, n)), jnp.float32)
+    Cm = jnp.asarray(rng.normal(size=(B, K, L, n)), jnp.float32)
+
+    f = jax.jit(lambda *a: selective_scan_pallas_tm(*a, delta_softplus=True))
+    g = jax.jit(jax.grad(lambda *a: jnp.sum(
+        selective_scan_pallas_tm(*a, delta_softplus=True) ** 2
+    ), argnums=(0, 1)))
+
+    y0 = np.asarray(f(u, dl, A, Bm, Cm))
+    g0 = [np.asarray(x) for x in g(u, dl, A, Bm, Cm)]
+    for _ in range(2):
+        np.testing.assert_array_equal(np.asarray(f(u, dl, A, Bm, Cm)), y0)
+        for a, b in zip(g(u, dl, A, Bm, Cm), g0):
+            np.testing.assert_array_equal(np.asarray(a), b)
