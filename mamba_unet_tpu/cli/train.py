@@ -198,7 +198,7 @@ def main(argv=None) -> int:
         if args.synthetic:
             root = os.path.join(tempfile.gettempdir(), "synthetic_btcv")
             if not os.path.isfile(os.path.join(root, "train.list")):
-                make_synthetic_btcv(root, n_train=6, n_val=1,
+                make_synthetic_btcv(root, n_train=12, n_val=1,
                                     size=args.patch_size[0])
         train_ds = VolumeTrainDataset(
             root, "train.list",
