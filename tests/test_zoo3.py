@@ -48,8 +48,13 @@ def test_swin_unetr():
     assert np.isfinite(np.asarray(y)).all()
 
 
-def test_mamba_unet_mask_alias():
-    m = net_factory("MambaUnetMask", num_classes=4, depths=(1, 1),
-                    dims=(8, 16))
-    y = _run(m, (1, 16, 16, 1))
-    assert y.shape == (1, 16, 16, 4)
+def test_mamba_unet_mask_is_real_model():
+    # "MambaUnetMask" now resolves to the REAL mask model (VSSM + cube/mask
+    # heads, models/mamba_mask.py) — __call__ returns (logits, embedding).
+    # The full head API is covered by tests/test_mamba_mask.py.
+    m = net_factory("MambaUnetMask", num_classes=4, cube_size=32,
+                    patch_size=64, depths=(1, 1, 1, 1), dims=(4, 8, 16, 32),
+                    d_state=4, drop_path_rate=0.0)
+    seg, emb = _run(m, (1, 64, 64, 1))
+    assert seg.shape == (1, 64, 64, 4)
+    assert emb.shape == (1, 64, 64, 16)
