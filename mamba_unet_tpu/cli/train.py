@@ -49,6 +49,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--labeled_num", type=int, default=140,
                    help="labeled patients (patients_to_slices table)")
     p.add_argument("--base_lr", type=float, default=0.01)
+    p.add_argument("--optimizer", type=str, default="sgd",
+                   choices=["sgd", "adamw"],
+                   help="sgd = the reference's poly-SGD; adamw = warmup "
+                        "AdamW for FROM-SCRATCH ViM/ViT training (upstream "
+                        "always warm-starts these from ImageNet weights; "
+                        "from-scratch SGD collapses — docs/EVIDENCE.md)")
+    p.add_argument("--weight_decay", type=float, default=None,
+                   help="default: 1e-4 (sgd) / 0.05 (adamw)")
     p.add_argument("--patch_size", type=int, nargs="+", default=[256, 256],
                    help="2 ints (2-D) or 3 ints (3-D volumes)")
     p.add_argument("--num_classes", type=int, default=4)
@@ -58,6 +66,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--consistency_rampup", type=float, default=200.0)
     p.add_argument("--snapshot_dir", type=str, default=None)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
+    p.add_argument("--scan_impl", type=str, default=None,
+                   choices=["auto", "bidir", "tm", "pallas", "xla"],
+                   help="selective-scan path override (ViM models; default "
+                        "auto = bidir kernel on TPU)")
     p.add_argument("--drop_path", type=float, default=None,
                    help="stochastic depth rate override (ViM/ViT; the "
                         "reference default 0.2 assumes ImageNet warm-start — "
@@ -148,6 +160,10 @@ def main(argv=None) -> int:
                                                      "mambaunet",
                                                      "MambaUnetMask"):
         kwargs["drop_path_rate"] = args.drop_path
+    if args.scan_impl is not None and args.model in ("ViM_seg", "mambaunet",
+                                                     "MambaUnetMask",
+                                                     "segmamba"):
+        kwargs["scan_impl"] = args.scan_impl
     if args.method in ("magicnet", "mask_pretrain"):
         kwargs.update(cube_size=args.cube_size,
                       patch_size=args.patch_size[0])
@@ -295,7 +311,16 @@ def main(argv=None) -> int:
                                 den=_warm(ms.den, args.mad_ckpt))
             trainer.mad_state = ms
         else:
-            trainer = Trainer(model, cfg)
+            tx = None
+            if args.optimizer == "adamw":
+                from mamba_unet_tpu.train.optim import warmup_adamw
+
+                tx = warmup_adamw(
+                    args.base_lr, args.max_iterations,
+                    weight_decay=(0.05 if args.weight_decay is None
+                                  else args.weight_decay),
+                )
+            trainer = Trainer(model, cfg, tx=tx)
     else:
         n_labeled = (
             patients_to_slices("ACDC", args.labeled_num)

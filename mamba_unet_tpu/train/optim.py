@@ -33,3 +33,26 @@ def poly_sgd(
         optax.trace(decay=momentum, nesterov=False),
         optax.scale_by_learning_rate(poly_lr(base_lr, max_iters, power)),
     )
+
+
+def warmup_adamw(
+    base_lr: float = 1e-3,
+    max_iters: int = 10_000,
+    weight_decay: float = 0.05,
+    warmup_iters: int = 250,
+    power: float = 0.9,
+) -> optax.GradientTransformation:
+    """AdamW + linear warmup + poly decay — for training the transformer/
+    Mamba models FROM SCRATCH. The reference never does this (every ViM/ViT
+    script warm-starts from ImageNet weights, vision_mamba.py:48-83, and its
+    yacs TRAIN.* AdamW section is dead config); upstream VMamba itself
+    pretrains with AdamW + warmup, and from-scratch SGD at the reference's
+    lr collapses the VSSM to the background class (docs/EVIDENCE.md)."""
+    sched = optax.join_schedules(
+        [
+            optax.linear_schedule(0.0, base_lr, warmup_iters),
+            poly_lr(base_lr, max(max_iters - warmup_iters, 1), power),
+        ],
+        [warmup_iters],
+    )
+    return optax.adamw(sched, weight_decay=weight_decay)
