@@ -196,17 +196,61 @@ def fwd_kernel_noalias(A_ref, db_ref, Dsk_ref, u_ref, d_ref, B_ref, C_ref,
     y_ref[:, 0] = (y + Dsk_ref[0][None] * u).astype(y_ref.dtype)
 
 
+def fwd_kernel_v3(A_ref, db_ref, Dsk_ref, u_ref, d_ref, B_ref, C_ref,
+                  y_ref, state_ref, dlt_ref, du_ref, bc_ref, *, Lc, unroll):
+    """Traffic-minimal: NO (Lc, N, dgt) slabs at all. The loop recomputes
+    the gate a_t = exp(dlt_t * A) from an (Lc, dgt) delta slab (N-fold less
+    VMEM traffic than a materialized gate slab), builds b_t from an SMEM-free
+    (Lc, N) B slab, and accumulates y in-loop (x_t never stored). Trades
+    ~3 extra vector ops per (N, dgt) register block per step for ~16x less
+    slab traffic — the materialized-slab loop is VMEM-bandwidth bound."""
+    ck = pl.program_id(3)
+
+    @pl.when(ck == 0)
+    def _():
+        state_ref[:] = jnp.zeros_like(state_ref)
+
+    A = A_ref[0]                                     # (N, dgt)
+    u = u_ref[:, 0].astype(jnp.float32)              # (bt, Lc, dgt)
+    raw = d_ref[:, 0].astype(jnp.float32) + db_ref[0][None]
+    dlt = jax.nn.softplus(raw)
+    dlt_ref[:] = dlt.astype(dlt_ref.dtype)           # (bt, Lc, dgt)
+    du_ref[:] = (dlt * u).astype(du_ref.dtype)
+    # B and C interleaved in one (bt, Lc, 2, N) slab (tiny)
+    bc_ref[:, :, 0] = B_ref[:, 0]
+    bc_ref[:, :, 1] = C_ref[:, 0]
+    Dsk = Dsk_ref[0, 0]
+
+    def body(i, x):
+        for j in range(unroll):
+            t = i * unroll + j
+            dlt_t = dlt_ref[:, t].astype(jnp.float32)    # (bt, dgt)
+            a_t = jnp.exp(dlt_t[:, None, :] * A[None])   # (bt, N, dgt)
+            du_t = du_ref[:, t].astype(jnp.float32)      # (bt, dgt)
+            B_t = bc_ref[:, t, 0].astype(jnp.float32)    # (bt, N)
+            C_t = bc_ref[:, t, 1].astype(jnp.float32)
+            x = a_t * x + B_t[:, :, None] * du_t[:, None, :]
+            y_t = jnp.sum(C_t[:, :, None] * x, axis=1)
+            y_ref[:, 0, t] = (
+                y_t + Dsk[None] * u_ref[:, 0, t].astype(jnp.float32)
+            ).astype(y_ref.dtype)
+        return x
+
+    state_ref[:] = jax.lax.fori_loop(0, Lc // unroll, body, state_ref[:])
+
+
 KERNELS = {
     "base": fwd_kernel_base,
     "fusedy": fwd_kernel_fusedy,
     "noloop": fwd_kernel_noloop,
     "v2": fwd_kernel_v2,
+    "v3": fwd_kernel_v3,
     "noalias": fwd_kernel_noalias,
 }
 
 
 def run_variant(kernel_name, u, delta, A_t, Bm, Cm, Dsk, db, *, btile, Lc,
-                unroll=1):
+                unroll=1, interpret=False):
     bsz, G, L, dg = u.shape
     n = A_t.shape[1]
     Lp = -(-L // Lc) * Lc
@@ -224,6 +268,14 @@ def run_variant(kernel_name, u, delta, A_t, Bm, Cm, Dsk, db, *, btile, Lc,
             pltpu.VMEM((btile, n, dg), jnp.float32),
             pltpu.VMEM((btile, Lc, n, dg), io),
             pltpu.VMEM((btile, Lc, dg), io),
+        ]
+    elif kernel_name == "v3":
+        io = u.dtype
+        scratch = [
+            pltpu.VMEM((btile, n, dg), jnp.float32),
+            pltpu.VMEM((btile, Lc, dg), io),      # dlt
+            pltpu.VMEM((btile, Lc, dg), io),      # du
+            pltpu.VMEM((btile, Lc, 2, n), jnp.float32),  # B/C interleaved
         ]
     elif kernel_name == "noalias":
         scratch = [
@@ -254,6 +306,7 @@ def run_variant(kernel_name, u, delta, A_t, Bm, Cm, Dsk, db, *, btile, Lc,
                                lambda b, g, dt, ck: (b, g, ck, dt)),
         out_shape=jax.ShapeDtypeStruct((bsz, G, Lp, dg), u.dtype),
         scratch_shapes=scratch,
+        interpret=interpret,
     )(A_t, db, Dsk, u, delta, Bm, Cm)
     return y[:, :, :L]
 
@@ -298,11 +351,11 @@ def main():
 
         budget = 12 * 1024 * 1024
         dgp = -(-dg // 128) * 128
-        for name in ("v2", "base"):
+        for name in ("v3", "base"):
             for btile in (8, 4, 2):
                 if BATCH % btile:
                     continue
-                if name == "v2":
+                if name in ("v2", "v3"):
                     per_step = btile * (n + 1) * dgp * 2
                 else:
                     per_step = 3 * btile * n * dgp * 4
