@@ -62,6 +62,15 @@ _VMEM_BUDGET = 8 * 1024 * 1024
 _N_SLABS = 4
 _TEMP_BYTES = 4
 _UNROLL = 4
+# Kernel variant: "slab" materializes (Lc, N, dgt) gate/value slabs and runs
+# a 1-FMA loop; "fused" (v3) materializes NO N-sized slabs — gates are
+# recomputed in-loop from (Lc, dgt) delta slabs and the y-contraction /
+# gradient reductions are fused into the loops. The slab loop is
+# VMEM-bandwidth bound (benchmarks/kernel_variants.py), so N-fold less slab
+# traffic wins when the extra in-register ops stay under the saved traffic.
+import os as _os
+
+_VARIANT = _os.environ.get("MAMBA_SCAN_VARIANT", "slab")
 
 
 def on_tpu() -> bool:
@@ -92,17 +101,38 @@ def _dg_tile(dg: int) -> Optional[int]:
     return cands[0] if cands else None
 
 
+def _slab_bytes_per_step(n_p: int, dgt_p: int, btile: int, itemsize: int,
+                         variant: str) -> int:
+    """Lc-scaled VMEM bytes per timestep of chunk scratch (+temp headroom).
+
+    slab:  4 (Lc, N, dgt) slabs (bwd worst case) in the I/O dtype + fp32
+           epilogue stack temporaries.
+    fused: ONE (Lc, N, dgt) slab (the bwd's recomputed states) + two tiny
+           (Lc, dgt) delta slabs; in-loop (N, dgt) temporaries don't scale
+           with Lc — accounted via _fixed_bytes."""
+    if variant == "fused":
+        return itemsize * btile * n_p * dgt_p + 2 * itemsize * btile * dgt_p
+    return (_N_SLABS * itemsize + _TEMP_BYTES) * btile * n_p * dgt_p
+
+
+def _fixed_bytes(n_p: int, dgt_p: int, btile: int, variant: str) -> int:
+    """Lc-independent scratch: carried state(s) + per-step register blocks."""
+    per = 8 if variant == "fused" else 2  # e/a/eaxp/acc/carry... headroom
+    return per * 4 * btile * n_p * dgt_p
+
+
 def _cap_chunk(chunk: int, L: int, n: int, dgt: int, btile: int,
-               itemsize: int) -> int:
-    """Shrink the L-chunk so the (btile, Lc, N, dgt) scratch buffers stay
-    within the VMEM budget. Sublane-tile multiple of 16 covers bf16."""
+               itemsize: int, variant: str) -> int:
+    """Shrink the L-chunk so the chunk scratch stays within the VMEM budget.
+    Sublane-tile multiple of 16 covers bf16."""
     n_p, dgt_p = _padded(n, dgt)
-    per_step = (_N_SLABS * itemsize + _TEMP_BYTES) * btile * n_p * dgt_p
-    cap = max(_VMEM_BUDGET // per_step, 16)
+    per_step = _slab_bytes_per_step(n_p, dgt_p, btile, itemsize, variant)
+    budget = _VMEM_BUDGET - _fixed_bytes(n_p, dgt_p, btile, variant)
+    cap = max(budget // per_step, 16)
     return max(16, (min(chunk, L, cap) // 16) * 16)
 
 
-def _pick_tiles(bsz: int, n: int, dg: int, itemsize: int):
+def _pick_tiles(bsz: int, n: int, dg: int, itemsize: int, variant: str):
     """Choose (dgt, btile) minimizing the total count of SEQUENTIAL loop
     steps, (B/btile) * (dg/dgt) — the loop has a fixed per-step issue cost
     (bookkeeping + load/store latency) that dominates at small slabs, so
@@ -112,9 +142,11 @@ def _pick_tiles(bsz: int, n: int, dg: int, itemsize: int):
     best = None
     for dgt in _dg_candidates(dg):
         dgt_p = _padded(n, dgt)[1]
-        per_step16 = (_N_SLABS * itemsize + _TEMP_BYTES) * 16 * n_p * dgt_p
+        per16 = (16 * _slab_bytes_per_step(n_p, dgt_p, 1, itemsize, variant))
         for bt in (8, 4, 2, 1):
-            if bsz % bt or per_step16 * bt > _VMEM_BUDGET:
+            if bsz % bt:
+                continue
+            if per16 * bt + _fixed_bytes(n_p, dgt_p, bt, variant) > _VMEM_BUDGET:
                 continue
             steps = (bsz // bt) * (dg // dgt)
             key = (steps, -dgt)
@@ -202,6 +234,64 @@ def _fwd_kernel(
     Cc = C_ref[:, 0].astype(jnp.float32)             # (bt, Lc, N)
     y = jnp.sum(Cc[..., None] * xs_ref[:].astype(jnp.float32), axis=2)
     y_ref[:, 0] = (y + Dsk_ref[0][None] * u).astype(y_ref.dtype)
+
+
+def _fwd_kernel_fused(
+    A_ref,      # (1, N, dgt)
+    db_ref,     # (1, 1, dgt)
+    Dsk_ref,    # (1, 1, dgt)
+    u_ref,      # (bt, 1, Lc, dgt)
+    d_ref,      # (bt, 1, Lc, dgt)
+    B_ref,      # (bt, 1, Lc, N)
+    C_ref,      # (bt, 1, Lc, N)
+    y_ref,      # (bt, 1, Lc, dgt) out
+    cs_ref,     # (bt, 1, 1, 1, N, dgt) out: chunk ENTRY state
+    state_ref,  # scratch (bt, N, dgt)
+    dlt_ref,    # scratch (bt, Lc, dgt)
+    du_ref,     # scratch (bt, Lc, dgt)
+    *,
+    softplus: bool,
+    Lc: int,
+    bidir: bool = False,
+):
+    """Traffic-minimal forward: no (Lc, N, dgt) slabs. The gate
+    a_t = exp(dlt_t * A) is recomputed in-loop from the (Lc, dgt) delta slab
+    and y is contracted in-loop (x_t never stored)."""
+    ck = pl.program_id(3)
+
+    @pl.when(ck == 0)
+    def _():
+        state_ref[:] = jnp.zeros_like(state_ref)
+
+    A = A_ref[0]                                     # (N, dgt)
+    u = u_ref[:, 0].astype(jnp.float32)
+    raw = d_ref[:, 0].astype(jnp.float32) + db_ref[0][None]
+    dlt = jax.nn.softplus(raw) if softplus else raw
+    dlt_ref[:] = dlt.astype(dlt_ref.dtype)
+    du_ref[:] = (dlt * u).astype(du_ref.dtype)
+    Dsk = Dsk_ref[0, 0]
+
+    cs_ref[:, 0, 0, 0] = state_ref[:]
+
+    r = (pl.program_id(1) // 2) if bidir else 0
+
+    def body(i, x):
+        for j in range(_UNROLL):
+            t = i * _UNROLL + j
+            te = t + r * (Lc - 1 - 2 * t)
+            dlt_t = dlt_ref[:, te].astype(jnp.float32)      # (bt, dgt)
+            a_t = jnp.exp(dlt_t[:, None, :] * A[None])      # (bt, N, dgt)
+            du_t = du_ref[:, te].astype(jnp.float32)
+            B_t = B_ref[:, 0, te].astype(jnp.float32)       # (bt, N)
+            C_t = C_ref[:, 0, te].astype(jnp.float32)
+            x = a_t * x + B_t[:, :, None] * du_t[:, None, :]
+            y_t = jnp.sum(C_t[:, :, None] * x, axis=1)
+            y_ref[:, 0, te] = (
+                y_t + Dsk[None] * u_ref[:, 0, te].astype(jnp.float32)
+            ).astype(y_ref.dtype)
+        return x
+
+    state_ref[:] = jax.lax.fori_loop(0, Lc // _UNROLL, body, state_ref[:])
 
 
 # ---------------------------------------------------------------------------
@@ -323,6 +413,128 @@ def _bwd_kernel(
     ddb_ref[0, 0, 0] += jnp.sum(dd_total, axis=(0, 1))
 
 
+def _bwd_kernel_fused(
+    A_ref,      # (1, N, dgt)
+    db_ref,     # (1, 1, dgt)
+    Dsk_ref,    # (1, 1, dgt)
+    u_ref,      # (bt, 1, Lc, dgt)
+    d_ref,      # (bt, 1, Lc, dgt)
+    B_ref,      # (bt, 1, Lc, N)
+    C_ref,      # (bt, 1, Lc, N)
+    cs_ref,     # (bt, 1, 1, 1, N, dgt) saved entry state
+    g_ref,      # (bt, 1, Lc, dgt) incoming dy
+    du_ref,     # out (bt, 1, Lc, dgt)
+    dd_ref,     # out (bt, 1, Lc, dgt)
+    dB_ref,     # out (bt, 1, Lc, N)
+    dC_ref,     # out (bt, 1, Lc, N)
+    dA_ref,     # out (1, 1, N, dgt)   accumulated over chunks + batch tile
+    dD_ref,     # out (1, 1, 1, dgt)   accumulated
+    ddb_ref,    # out (1, 1, 1, dgt)   accumulated
+    carry_ref,  # scratch (bt, N, dgt): a_0*e_0 of the later-in-scan chunk
+    dacc_ref,   # scratch (bt, N, dgt): per-cell dA accumulator
+    dlt_ref,    # scratch (bt, Lc, dgt)
+    dus_ref,    # scratch (bt, Lc, dgt)
+    xs_ref,     # scratch (bt, Lc, N, dgt): x_t (the ONE big slab)
+    *,
+    softplus: bool,
+    Lc: int,
+    bidir: bool = False,
+):
+    """Traffic-minimal backward: one (Lc, N, dgt) slab (the recomputed
+    states) instead of four. Gates are recomputed in both loops from the
+    (Lc, dgt) delta slab; every per-step gradient is produced INSIDE the
+    reverse loop and written straight to its output block (no e/xsp slabs,
+    no multi-pass epilogue). softplus'(raw) = 1 - exp(-softplus(raw)), so
+    the raw pre-activation never needs storing."""
+    ck = pl.program_id(3)  # 0 = LAST chunk in scan order (walk via index_map)
+
+    @pl.when(ck == 0)
+    def _():
+        carry_ref[:] = jnp.zeros_like(carry_ref)
+        dA_ref[:] = jnp.zeros_like(dA_ref)
+        dD_ref[:] = jnp.zeros_like(dD_ref)
+        ddb_ref[:] = jnp.zeros_like(ddb_ref)
+
+    A = A_ref[0]
+    u = u_ref[:, 0].astype(jnp.float32)
+    raw = d_ref[:, 0].astype(jnp.float32) + db_ref[0][None]
+    dlt = jax.nn.softplus(raw) if softplus else raw
+    dlt_ref[:] = dlt.astype(dlt_ref.dtype)
+    dus_ref[:] = (dlt * u).astype(dus_ref.dtype)
+    Dsk = Dsk_ref[0, 0]
+
+    r = (pl.program_id(1) // 2) if bidir else 0
+
+    def te_of(t):
+        return t + r * (Lc - 1 - 2 * t)
+
+    # --- recompute within-chunk forward from the saved entry state ---
+    def fbody(i, x):
+        for j in range(_UNROLL):
+            t = i * _UNROLL + j
+            te = te_of(t)
+            dlt_t = dlt_ref[:, te].astype(jnp.float32)
+            a_t = jnp.exp(dlt_t[:, None, :] * A[None])
+            x = a_t * x + (
+                B_ref[:, 0, te].astype(jnp.float32)[:, :, None]
+                * dus_ref[:, te].astype(jnp.float32)[:, None, :]
+            )
+            xs_ref[:, te] = x.astype(xs_ref.dtype)
+        return x
+
+    jax.lax.fori_loop(0, Lc // _UNROLL, fbody, cs_ref[:, 0, 0, 0])
+
+    # --- reverse scan with fused per-step gradients ---
+    dacc_ref[:] = jnp.zeros_like(dacc_ref)
+
+    def rbody(i, carry):
+        acc = jnp.zeros_like(dacc_ref[:])
+        for j in range(_UNROLL):
+            t = Lc - 1 - (i * _UNROLL + j)
+            te = te_of(t)
+            dlt_t = dlt_ref[:, te].astype(jnp.float32)       # (bt, dgt)
+            a_t = jnp.exp(dlt_t[:, None, :] * A[None])       # (bt, N, dgt)
+            g_t = g_ref[:, 0, te].astype(jnp.float32)        # (bt, dgt)
+            B_t = B_ref[:, 0, te].astype(jnp.float32)        # (bt, N)
+            C_t = C_ref[:, 0, te].astype(jnp.float32)
+            e = C_t[:, :, None] * g_t[:, None, :] + carry    # (bt, N, dgt)
+            tp = te_of(jnp.maximum(t - 1, 0))  # masked below at t == 0
+            xprev = jnp.where(
+                t == 0,
+                cs_ref[:, 0, 0, 0],
+                xs_ref[:, tp].astype(jnp.float32),
+            )
+            eaxp = e * a_t * xprev
+            dd_a = jnp.sum(eaxp * A[None], axis=1)           # (bt, dgt)
+            ddu = jnp.sum(e * B_t[:, :, None], axis=1)       # (bt, dgt)
+            u_t = u_ref[:, 0, te].astype(jnp.float32)
+            dd_total = dd_a + ddu * u_t
+            if softplus:
+                # softplus'(raw) = sigmoid(raw) = 1 - exp(-softplus(raw))
+                dd_total = dd_total * (1.0 - jnp.exp(-dlt_t))
+            dd_ref[:, 0, te] = dd_total.astype(dd_ref.dtype)
+            du_ref[:, 0, te] = (ddu * dlt_t + Dsk[None] * g_t).astype(
+                du_ref.dtype)
+            dus_t = dus_ref[:, te].astype(jnp.float32)
+            dB_ref[:, 0, te] = jnp.sum(
+                e * dus_t[:, None, :], axis=2).astype(dB_ref.dtype)
+            dC_ref[:, 0, te] = jnp.sum(
+                xs_ref[:, te].astype(jnp.float32) * g_t[:, None, :], axis=2
+            ).astype(dC_ref.dtype)
+            acc = acc + eaxp * dlt_t[:, None, :]
+            carry = a_t * e
+        dacc_ref[:] += acc
+        return carry
+
+    carry_ref[:] = jax.lax.fori_loop(0, Lc // _UNROLL, rbody, carry_ref[:])
+
+    # --- cheap vectorized accumulations (inputs already in VMEM blocks) ---
+    g = g_ref[:, 0].astype(jnp.float32)
+    dA_ref[0, 0] += jnp.sum(dacc_ref[:], axis=0)             # (N, dgt)
+    dD_ref[0, 0, 0] += jnp.sum(g * u, axis=(0, 1))
+    ddb_ref[0, 0, 0] += jnp.sum(dd_ref[:, 0].astype(jnp.float32), axis=(0, 1))
+
+
 # ---------------------------------------------------------------------------
 # host-side wrappers
 # ---------------------------------------------------------------------------
@@ -341,13 +553,14 @@ def _scan_core(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
     return y
 
 
-def _tiling(bsz, L, n, dg, chunk, dtype):
+def _tiling(bsz, L, n, dg, chunk, dtype, variant=None):
+    variant = variant or _VARIANT
     itemsize = jnp.dtype(dtype).itemsize
-    dgt, btile = _pick_tiles(bsz, n, dg, itemsize)
+    dgt, btile = _pick_tiles(bsz, n, dg, itemsize, variant)
     if dgt is None:
         dgt = _dg_tile(dg)
         btile = 1
-    Lc = _cap_chunk(chunk, L, n, dgt, btile, itemsize)
+    Lc = _cap_chunk(chunk, L, n, dgt, btile, itemsize, variant)
     Lp = -(-L // Lc) * Lc
     return dgt, dg // dgt, btile, Lc, Lp, Lp // Lc
 
@@ -374,9 +587,23 @@ def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret,
     Cm = _pad_L(Cm, Lp)
 
     grid = (bsz // bt, G, DT, nc)
-    kernel = functools.partial(_fwd_kernel, softplus=softplus, Lc=Lc,
-                               bidir=bidir)
     io = u.dtype
+    if _VARIANT == "fused":
+        kernel = functools.partial(_fwd_kernel_fused, softplus=softplus,
+                                   Lc=Lc, bidir=bidir)
+        scratch = [
+            pltpu.VMEM((bt, n, dgt), jnp.float32),
+            pltpu.VMEM((bt, Lc, dgt), io),
+            pltpu.VMEM((bt, Lc, dgt), io),
+        ]
+    else:
+        kernel = functools.partial(_fwd_kernel, softplus=softplus, Lc=Lc,
+                                   bidir=bidir)
+        scratch = [
+            pltpu.VMEM((bt, n, dgt), jnp.float32),
+            pltpu.VMEM((bt, Lc, n, dgt), io),
+            pltpu.VMEM((bt, Lc, n, dgt), io),
+        ]
 
     def cke(g, ck):
         # data chunk for scan-position ck: reversed directions walk backwards
@@ -411,11 +638,7 @@ def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret,
             jax.ShapeDtypeStruct((bsz, G, Lp, dg), u.dtype),
             jax.ShapeDtypeStruct((bsz, G, DT, nc, n, dgt), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bt, n, dgt), jnp.float32),
-            pltpu.VMEM((bt, Lc, n, dgt), io),
-            pltpu.VMEM((bt, Lc, n, dgt), io),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(A_t, db, Dsk, u, delta, Bm, Cm)
     return y[:, :, :L], cs
@@ -454,8 +677,26 @@ def _scan_bwd_impl(res, gy, softplus, chunk, interpret, bidir=False):
     def u_map(b, g, dt, ck):
         return (b, g % 2 if bidir else g, cke(g, ck), dt)
 
-    kernel = functools.partial(_bwd_kernel, softplus=softplus, Lc=Lc,
-                               bidir=bidir)
+    if _VARIANT == "fused":
+        kernel = functools.partial(_bwd_kernel_fused, softplus=softplus,
+                                   Lc=Lc, bidir=bidir)
+        scratch = [
+            pltpu.VMEM((bt, n, dgt), jnp.float32),  # carry
+            pltpu.VMEM((bt, n, dgt), jnp.float32),  # dacc
+            pltpu.VMEM((bt, Lc, dgt), io),          # dlt
+            pltpu.VMEM((bt, Lc, dgt), io),          # du (delta*u)
+            pltpu.VMEM((bt, Lc, n, dgt), io),       # xs — the one big slab
+        ]
+    else:
+        kernel = functools.partial(_bwd_kernel, softplus=softplus, Lc=Lc,
+                                   bidir=bidir)
+        scratch = [
+            pltpu.VMEM((bt, n, dgt), jnp.float32),
+            pltpu.VMEM((bt, Lc, n, dgt), io),
+            pltpu.VMEM((bt, Lc, n, dgt), io),
+            pltpu.VMEM((bt, Lc, n, dgt), io),
+            pltpu.VMEM((bt, Lc, n, dgt), io),
+        ]
     du, dd, dB, dC, dA, dD, ddb = pl.pallas_call(
         kernel,
         grid=grid,
@@ -502,13 +743,7 @@ def _scan_bwd_impl(res, gy, softplus, chunk, interpret, bidir=False):
             jax.ShapeDtypeStruct((bsz // bt, G * DT, 1, dgt), jnp.float32),
             jax.ShapeDtypeStruct((bsz // bt, G * DT, 1, dgt), jnp.float32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((bt, n, dgt), jnp.float32),
-            pltpu.VMEM((bt, Lc, n, dgt), io),
-            pltpu.VMEM((bt, Lc, n, dgt), io),
-            pltpu.VMEM((bt, Lc, n, dgt), io),
-            pltpu.VMEM((bt, Lc, n, dgt), io),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(A_t, db, Dsk, u_p, delta_p, Bm_p, Cm_p, cs, gy_p)
 
