@@ -70,7 +70,12 @@ _UNROLL = 4
 # traffic wins when the extra in-register ops stay under the saved traffic.
 import os as _os
 
-_VARIANT = _os.environ.get("MAMBA_SCAN_VARIANT", "slab")
+def _variant() -> str:
+    """Kernel variant, re-read from the environment at trace time so tests
+    and benchmarks can switch it without re-importing the module. The
+    custom-VJP forward and backward both read it at trace time of the same
+    jit, so the chunk grids they derive always agree."""
+    return _os.environ.get("MAMBA_SCAN_VARIANT", "slab")
 
 
 def on_tpu() -> bool:
@@ -554,7 +559,7 @@ def _scan_core(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
 
 
 def _tiling(bsz, L, n, dg, chunk, dtype, variant=None):
-    variant = variant or _VARIANT
+    variant = variant or _variant()
     itemsize = jnp.dtype(dtype).itemsize
     dgt, btile = _pick_tiles(bsz, n, dg, itemsize, variant)
     if dgt is None:
@@ -588,7 +593,7 @@ def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret,
 
     grid = (bsz // bt, G, DT, nc)
     io = u.dtype
-    if _VARIANT == "fused":
+    if _variant() == "fused":
         kernel = functools.partial(_fwd_kernel_fused, softplus=softplus,
                                    Lc=Lc, bidir=bidir)
         scratch = [
@@ -677,7 +682,7 @@ def _scan_bwd_impl(res, gy, softplus, chunk, interpret, bidir=False):
     def u_map(b, g, dt, ck):
         return (b, g % 2 if bidir else g, cke(g, ck), dt)
 
-    if _VARIANT == "fused":
+    if _variant() == "fused":
         kernel = functools.partial(_bwd_kernel_fused, softplus=softplus,
                                    Lc=Lc, bidir=bidir)
         scratch = [
