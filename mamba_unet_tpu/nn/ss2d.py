@@ -164,6 +164,40 @@ class SS2D(nn.Module):
                 chunk=self.scan_chunk,
             )
             y = cross_merge(out.reshape(bsz, K, d_inner, L), H, W)
+        elif self.scan_impl == "tp_sharded":
+            # tensor parallelism: d_inner sharded over the mesh axis provided
+            # by parallel.tp_scan.channel_sharding(...) — the scan is
+            # channel-independent, so each device runs the kernel on its own
+            # dg block with the tiny per-direction B/C replicated
+            from mamba_unet_tpu.parallel.tp_scan import (
+                current_channel_sharding,
+                selective_scan_tp_sharded,
+            )
+
+            ctx = current_channel_sharding()
+            assert ctx is not None, (
+                "scan_impl='tp_sharded' requires a channel_sharding(mesh) "
+                "context"
+            )
+            mesh, axis, batch_axis = ctx
+            xs = cross_scan(xx)
+            x_dbl = jnp.einsum(
+                "bkdl,kcd->bkcl", xs, x_proj_weight.astype(xs.dtype)
+            )
+            dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + n], axis=2)
+            dts = jnp.einsum(
+                "bkrl,kdr->bkdl", dts, dt_projs_weight.astype(dts.dtype)
+            )
+            out = selective_scan_tp_sharded(
+                xs.reshape(bsz, K * d_inner, L).astype(jnp.float32),
+                dts.reshape(bsz, K * d_inner, L).astype(jnp.float32),
+                A, Bs.astype(jnp.float32), Cs.astype(jnp.float32),
+                D=Ds.astype(jnp.float32),
+                delta_bias=dt_projs_bias.reshape(-1).astype(jnp.float32),
+                delta_softplus=True, mesh=mesh, axis=axis,
+                batch_axis=batch_axis, chunk=self.scan_chunk,
+            )
+            y = cross_merge(out.reshape(bsz, K, d_inner, L), H, W)
         elif use_bidir:
             # bidirectional fast path: only the 2 DATA streams (row-major,
             # col-major) are materialized; the 2 reversed directions run

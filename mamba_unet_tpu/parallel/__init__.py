@@ -11,5 +11,22 @@ from mamba_unet_tpu.parallel.mesh import (
     replicated,
     shard_batch,
 )
+from mamba_unet_tpu.parallel.seq_scan import (
+    selective_scan_seq_sharded,
+    sequence_sharding,
+)
+from mamba_unet_tpu.parallel.tp_scan import (
+    channel_sharding,
+    selective_scan_tp_sharded,
+)
 
-__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]
+__all__ = [
+    "make_mesh",
+    "batch_sharding",
+    "replicated",
+    "shard_batch",
+    "selective_scan_seq_sharded",
+    "sequence_sharding",
+    "selective_scan_tp_sharded",
+    "channel_sharding",
+]
