@@ -42,6 +42,8 @@ differentiated by autodiff).
 from __future__ import annotations
 
 import functools
+import os as _os
+import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -61,21 +63,35 @@ _VMEM_BUDGET = 8 * 1024 * 1024
 # agree on the chunk grid (the saved chunk-entry states align).
 _N_SLABS = 4
 _TEMP_BYTES = 4
-_UNROLL = 4
+_UNROLL = int(_os.environ.get("MAMBA_SCAN_UNROLL", "4"))
 # Kernel variant: "slab" materializes (Lc, N, dgt) gate/value slabs and runs
 # a 1-FMA loop; "fused" (v3) materializes NO N-sized slabs — gates are
 # recomputed in-loop from (Lc, dgt) delta slabs and the y-contraction /
 # gradient reductions are fused into the loops. The slab loop is
 # VMEM-bandwidth bound (benchmarks/kernel_variants.py), so N-fold less slab
 # traffic wins when the extra in-register ops stay under the saved traffic.
-import os as _os
+
 
 def _variant() -> str:
     """Kernel variant, re-read from the environment at trace time so tests
     and benchmarks can switch it without re-importing the module. The
     custom-VJP forward and backward both read it at trace time of the same
-    jit, so the chunk grids they derive always agree."""
-    return _os.environ.get("MAMBA_SCAN_VARIANT", "slab")
+    jit, so the chunk grids they derive always agree.
+
+    The fused pair is currently INTERPRET-ONLY: its per-step loads index the
+    sublane dim of rank-3 (Lc, dgt) slabs, which Mosaic cannot compile
+    ("cannot statically prove that index in dimension 1 is a multiple of 8"
+    — the slab kernels dodge this by keeping the step index on the untiled
+    dim of rank-4 slabs). On a real TPU backend the flag falls back to slab
+    until a Mosaic-compatible port lands (docs/PROFILE.md)."""
+    v = _os.environ.get("MAMBA_SCAN_VARIANT", "slab")
+    if v == "fused" and on_tpu():
+        warnings.warn(
+            "MAMBA_SCAN_VARIANT=fused is interpret-only for now (Mosaic "
+            "rejects its dynamic sublane indexing); using 'slab' on TPU."
+        )
+        return "slab"
+    return v
 
 
 def on_tpu() -> bool:
