@@ -26,6 +26,8 @@ BASELINE_SLICES_PER_SEC = RTX3090_SLICES_PER_SEC * A100_SCALING  # ≈ 33.33
 
 def main() -> None:
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
     import jax.numpy as jnp
     import numpy as np
 
