@@ -57,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "from-scratch SGD collapses — docs/EVIDENCE.md)")
     p.add_argument("--weight_decay", type=float, default=None,
                    help="default: 1e-4 (sgd) / 0.05 (adamw)")
+    p.add_argument("--model2", type=str, default=None,
+                   help="second network for cross_teaching (default: unet, "
+                        "the reference's CNN<->Mamba pairing)")
     p.add_argument("--patch_size", type=int, nargs="+", default=[256, 256],
                    help="2 ints (2-D) or 3 ints (3-D volumes)")
     p.add_argument("--num_classes", type=int, default=4)
@@ -95,6 +98,22 @@ def build_parser() -> argparse.ArgumentParser:
                         "8 8 2 0 <patch>; the full-protocol evidence run "
                         "uses the reference scale 140 9 20 40 256)")
     return p
+
+
+def _make_tx(args):
+    """--optimizer -> optax transform (None = the Trainer's reference
+    poly-SGD). Applies to EVERY method, not just fully_supervised — a
+    from-scratch ViM under any semi method collapses with poly-SGD exactly
+    like the supervised case (docs/EVIDENCE.md)."""
+    if args.optimizer == "adamw":
+        from mamba_unet_tpu.train.optim import warmup_adamw
+
+        return warmup_adamw(
+            args.base_lr, args.max_iterations,
+            weight_decay=(0.05 if args.weight_decay is None
+                          else args.weight_decay),
+        )
+    return None
 
 
 def main(argv=None) -> int:
@@ -311,16 +330,7 @@ def main(argv=None) -> int:
                                 den=_warm(ms.den, args.mad_ckpt))
             trainer.mad_state = ms
         else:
-            tx = None
-            if args.optimizer == "adamw":
-                from mamba_unet_tpu.train.optim import warmup_adamw
-
-                tx = warmup_adamw(
-                    args.base_lr, args.max_iterations,
-                    weight_decay=(0.05 if args.weight_decay is None
-                                  else args.weight_decay),
-                )
-            trainer = Trainer(model, cfg, tx=tx)
+            trainer = Trainer(model, cfg, tx=_make_tx(args))
     else:
         n_labeled = (
             patients_to_slices("ACDC", args.labeled_num)
@@ -341,19 +351,29 @@ def main(argv=None) -> int:
             trainer = MagicNetTrainer(model, cfg, labeled_bs=args.labeled_bs,
                                       cube_size=args.cube_size,
                                       mask_recovery=args.mask_recovery,
-                                      masked_rate=args.masked_rate)
+                                      masked_rate=args.masked_rate,
+                                      tx=_make_tx(args))
         elif args.method == "contrastive_consistency":
             from mamba_unet_tpu.train.contrastive_cc import (
                 ContrastiveConsistencyTrainer,
             )
 
             trainer = ContrastiveConsistencyTrainer(
-                model, cfg, labeled_bs=args.labeled_bs,
+                model, cfg, labeled_bs=args.labeled_bs, tx=_make_tx(args),
             )
         else:
             from mamba_unet_tpu.train.methods import build_semi_method
 
-            trainer = build_semi_method(args, model, cfg)
+            model2 = None
+            if args.method == "cross_teaching":
+                # the reference pairs TWO architectures (CNN <-> Mamba,
+                # train_Semi_Mamba_UNet.py): default partner is unet
+                kw2 = {"num_classes": args.num_classes}
+                if args.bf16:
+                    kw2["dtype"] = jnp.bfloat16
+                model2 = net_factory(args.model2 or "unet", **kw2)
+            trainer = build_semi_method(args, model, cfg, tx=_make_tx(args),
+                                        model2=model2)
 
     if args.pretrained_ckpt:
         # the reference's load_from warm-start (vision_mamba.py:48-83)

@@ -218,7 +218,9 @@ class CrossTeachingTrainer(Trainer):
         super().__init__(model, config, **kw)
         cfg = config
         sample = jnp.zeros((cfg.batch_size, *cfg.patch_size, 1), jnp.float32)
-        tx2 = poly_sgd(cfg.base_lr, cfg.max_iterations)
+        # model 2 trains under the same optimizer choice as model 1 (the CLI
+        # --optimizer flag rides in through kw["tx"])
+        tx2 = kw.get("tx") or poly_sgd(cfg.base_lr, cfg.max_iterations)
         s2 = create_train_state(
             self.model2, jax.random.key(cfg.seed + 1), sample, tx2
         )
@@ -402,17 +404,18 @@ class CrossTeachingTrainer(Trainer):
                 "iterations": it, "history": history}
 
 
-def build_semi_method(args, model, cfg: TrainConfig):
+def build_semi_method(args, model, cfg: TrainConfig, tx=None, model2=None):
     """CLI dispatcher (``--method``)."""
     common = dict(
         labeled_bs=args.labeled_bs,
         consistency=args.consistency,
         consistency_rampup=args.consistency_rampup,
+        tx=tx,
     )
     if args.method == "mean_teacher":
         return MeanTeacherTrainer(model, cfg, **common)
     if args.method == "uamt":
         return UAMTTrainer(model, cfg, **common)
     if args.method == "cross_teaching":
-        return CrossTeachingTrainer(model, cfg, **common)
+        return CrossTeachingTrainer(model, cfg, model2=model2, **common)
     raise ValueError(f"unknown method {args.method}")
