@@ -17,6 +17,7 @@ TFLOP/s (2.2x); published PyTorch training benchmarks put A100 at ~2-2.5x a
 from __future__ import annotations
 
 import json
+import os
 import time
 
 RTX3090_SLICES_PER_SEC = 10_000 * 24 / (5 * 3600)   # ≈ 13.33 (published run)
@@ -24,10 +25,65 @@ A100_SCALING = 2.5                                    # aggressive A100:3090
 BASELINE_SLICES_PER_SEC = RTX3090_SLICES_PER_SEC * A100_SCALING  # ≈ 33.33
 
 
+def bench_e2e(trainer, batch_size, patch, n_steps=40) -> float:
+    """End-to-end loader->device throughput (VERDICT r2 task 5): stream REAL
+    batches through SliceDataset + RandomGenerator (+ the C++ fast path) +
+    the prefetch Loader into the train step — the role of the reference's
+    16-worker DataLoader (train_fully_supervised_2D.py). Returns slices/s."""
+    import tempfile
+    import time as _time
+
+    import numpy as np
+
+    from mamba_unet_tpu.data import Loader, SliceDataset, make_synthetic_acdc
+    from mamba_unet_tpu.data.native import (
+        NativeRandomGenerator as RandomGenerator,
+    )
+
+    root = os.path.join(tempfile.gettempdir(),
+                        f"synthetic_acdc_bench_{patch}")
+    if not os.path.isfile(os.path.join(root, "train_slices.list")):
+        make_synthetic_acdc(root, n_train_cases=16, slices_per_case=8,
+                            n_val_cases=0, n_test_cases=0, size=patch)
+    ds = SliceDataset(root, transform=RandomGenerator((patch, patch)))
+
+    class _Sampler:
+        def __init__(self, n, bs):
+            self.n, self.bs = n, bs
+            self.rng = np.random.default_rng(0)
+
+        def __len__(self):
+            return self.n // self.bs
+
+        def __iter__(self):
+            order = self.rng.permutation(self.n)
+            for i in range(0, self.n - self.bs + 1, self.bs):
+                yield order[i : i + self.bs].tolist()
+
+    loader = Loader(ds, _Sampler(len(ds), batch_size), sharding=trainer._bsh)
+    it = iter(loader)
+    # warmup (compile already done by the step-only phase)
+    b = next(it)
+    trainer.state, logs = trainer._step(trainer.state, b)
+    _ = float(logs["loss_total"])
+    t0 = _time.perf_counter()
+    for _ in range(n_steps):
+        trainer.state, logs = trainer._step(trainer.state, next(it))
+    _ = float(logs["loss_total"])
+    dt = _time.perf_counter() - t0
+    return n_steps * batch_size / dt
+
+
 def main() -> None:
+    import sys
+
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_CACHE_DIR",
+                       os.path.join(os.path.expanduser("~"), ".jax_cache")),
+    )
     import jax.numpy as jnp
     import numpy as np
 
@@ -80,6 +136,15 @@ def main() -> None:
     dt = time.perf_counter() - t0
 
     slices_per_sec = n_steps * batch_size / dt
+
+    extra = {}
+    if "--e2e" in sys.argv:
+        e2e = bench_e2e(trainer, batch_size, patch)
+        extra = {
+            "e2e_slices_per_sec": round(e2e, 2),
+            "e2e_gap_pct": round(100.0 * (1 - e2e / slices_per_sec), 1),
+        }
+
     print(
         json.dumps(
             {
@@ -89,6 +154,7 @@ def main() -> None:
                         "state); vs_baseline = x over a 33.33 slices/s A100 "
                         "anchor (2.5x the published RTX-3090 run)",
                 "vs_baseline": round(slices_per_sec / BASELINE_SLICES_PER_SEC, 2),
+                **extra,
             }
         )
     )

@@ -58,8 +58,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--weight_decay", type=float, default=None,
                    help="default: 1e-4 (sgd) / 0.05 (adamw)")
     p.add_argument("--model2", type=str, default=None,
-                   help="second network for cross_teaching (default: unet, "
-                        "the reference's CNN<->Mamba pairing)")
+                   help="second network for cross_teaching (default: same "
+                        "architecture as --model, matching the reference "
+                        "train_Semi_Mamba_UNet.py which builds both models "
+                        "as ViM_seg; pass e.g. 'unet' to opt into a "
+                        "CNN<->Mamba pairing)")
     p.add_argument("--patch_size", type=int, nargs="+", default=[256, 256],
                    help="2 ints (2-D) or 3 ints (3-D volumes)")
     p.add_argument("--num_classes", type=int, default=4)
@@ -91,6 +94,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="one-hot epsilon for MAD label corruption")
     p.add_argument("--synthetic", action="store_true",
                    help="generate+use a synthetic ACDC-format dataset (smoke/bench)")
+    p.add_argument("--synthetic_hard", action="store_true",
+                   help="use the discriminating phantom (wobbly boundaries, "
+                        "distractors, bias field, apical no-RV slices) — for "
+                        "evidence runs where easy phantoms saturate")
     p.add_argument("--synthetic_spec", type=int, nargs=5, default=None,
                    metavar=("CASES", "SLICES", "VAL", "TEST", "SIZE"),
                    help="synthetic dataset scale: train cases, slices/case, "
@@ -158,9 +165,10 @@ def main(argv=None) -> int:
     if args.synthetic and args.dataset == "acdc":
         spec = args.synthetic_spec or [8, 8, 2, 0, args.patch_size[0]]
         cases, slices, n_val, n_test, size = spec
+        hard_tag = "h" if args.synthetic_hard else ""
         root = os.path.join(
             tempfile.gettempdir(),
-            f"synthetic_acdc_{cases}x{slices}v{n_val}t{n_test}s{size}",
+            f"synthetic_acdc_{cases}x{slices}v{n_val}t{n_test}s{size}{hard_tag}",
         )
         if not os.path.isfile(os.path.join(root, "train_slices.list")):
             make_synthetic_acdc(
@@ -170,6 +178,7 @@ def main(argv=None) -> int:
                 n_val_cases=n_val,
                 n_test_cases=n_test,
                 size=size,
+                hard=args.synthetic_hard,
             )
 
     kwargs = {"num_classes": args.num_classes}
@@ -247,7 +256,10 @@ def main(argv=None) -> int:
             cfg.batch_size, cfg.batch_size - args.labeled_bs, seed=args.seed,
         )
         trainer = MagicNetTrainer(model, cfg, labeled_bs=args.labeled_bs,
-                                  cube_size=args.cube_size)
+                                  cube_size=args.cube_size,
+                                  mask_recovery=args.mask_recovery,
+                                  masked_rate=args.masked_rate,
+                                  tx=_make_tx(args))
         result = trainer.fit(Loader(train_ds, sampler), val_ds)
         logging.info("done: %d iterations, best val dice %.4f",
                      result["iterations"], result["best_dice"])
@@ -365,13 +377,16 @@ def main(argv=None) -> int:
             from mamba_unet_tpu.train.methods import build_semi_method
 
             model2 = None
-            if args.method == "cross_teaching":
-                # the reference pairs TWO architectures (CNN <-> Mamba,
-                # train_Semi_Mamba_UNet.py): default partner is unet
+            if args.method == "cross_teaching" and args.model2:
+                # default (no --model2): a second instance of the SAME
+                # architecture, as in the reference train_Semi_Mamba_UNet.py
+                # (both model1 and model2 are ViM_seg there; a CNN partner
+                # appears only in its commented-out code). --model2 unet
+                # opts into the CNN<->Mamba pairing.
                 kw2 = {"num_classes": args.num_classes}
                 if args.bf16:
                     kw2["dtype"] = jnp.bfloat16
-                model2 = net_factory(args.model2 or "unet", **kw2)
+                model2 = net_factory(args.model2, **kw2)
             trainer = build_semi_method(args, model, cfg, tx=_make_tx(args),
                                         model2=model2)
 

@@ -34,7 +34,6 @@ from mamba_unet_tpu.objectives.losses import (
     dice_loss_from_labels,
 )
 from mamba_unet_tpu.train.methods import _apply_train, _main_head, rampup_weight
-from mamba_unet_tpu.train.optim import poly_sgd
 from mamba_unet_tpu.train.state import TrainState, create_train_state, ema_update
 from mamba_unet_tpu.train.trainer import TrainConfig, Trainer
 
@@ -99,9 +98,10 @@ class ContrastiveConsistencyTrainer(Trainer):
             (cfg.batch_size, *cfg.patch_size, cfg.num_classes), jnp.float32
         )
         self.projector = Projectors(input_nc=cfg.num_classes, ndf=projector_ndf)
+        # model2/projectors follow --optimizer like model1 (methods.py:223);
+        # self.tx is the resolved tx (given tx, else reference poly-SGD)
         mk = lambda m, x, seed: create_train_state(
-            m, jax.random.key(seed), x,
-            poly_sgd(cfg.base_lr, cfg.max_iterations),
+            m, jax.random.key(seed), x, self.tx,
         )
         s2 = mk(self.model2, sample, cfg.seed + 1)
         p3 = mk(self.projector, proj_in, cfg.seed + 2)

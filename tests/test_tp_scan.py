@@ -49,17 +49,22 @@ def test_tp_sharded_with_z_and_grad(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=2e-4, atol=2e-4)
 
+    # grads over EVERY operand — the sharded/replicated parameter operands
+    # (A, B, C, D, delta_bias) are the ones training updates, and their
+    # cotangents exercise the shard_map transpose's psums
     gy = jnp.asarray(np.random.default_rng(7).normal(size=u.shape), jnp.float32)
-    g_ref = jax.grad(lambda u_, d_: jnp.sum(
-        selective_scan_ref(u_, d_, A, B, C, D, None, db, True) * gy
-    ), argnums=(0, 1))(u, delta)
-    g_tp = jax.grad(lambda u_, d_: jnp.sum(
-        selective_scan_tp_sharded(u_, d_, A, B, C, D, None, db, True,
+    g_ref = jax.grad(lambda u_, d_, A_, B_, C_, D_, db_: jnp.sum(
+        selective_scan_ref(u_, d_, A_, B_, C_, D_, None, db_, True) * gy
+    ), argnums=(0, 1, 2, 3, 4, 5, 6))(u, delta, A, B, C, D, db)
+    g_tp = jax.grad(lambda u_, d_, A_, B_, C_, D_, db_: jnp.sum(
+        selective_scan_tp_sharded(u_, d_, A_, B_, C_, D_, None, db_, True,
                                   mesh=mesh, chunk=8) * gy
-    ), argnums=(0, 1))(u, delta)
-    for w, g in zip(g_ref, g_tp):
-        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
-                                   rtol=2e-3, atol=2e-3)
+    ), argnums=(0, 1, 2, 3, 4, 5, 6))(u, delta, A, B, C, D, db)
+    for name, w, g in zip(("u", "delta", "A", "B", "C", "D", "delta_bias"),
+                          g_ref, g_tp):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(w), rtol=2e-3, atol=2e-3,
+            err_msg=f"grad mismatch for {name}")
 
 
 def test_tp_sharded_dp_tp_2d_mesh(rng):
