@@ -4,7 +4,10 @@ Per test case: slice inference at the training patch size (order-0 zoom in
 and out), per-class (dice, hd95, asd), mean table; optional nii.gz export
 with spacing (1, 1, 10) (ref :119-128) and optional write-back of the
 prediction into the case h5 (the MAD data-generation path, ref :31-65
-``pred_vim_224``).
+``pred_vim_224``). ``--denoiser_model``/``--denoiser_checkpoint`` enable
+the stacked seg->denoiser protocol (``Inference_seg_ema_model`` /
+``Inference_mad_model``, ref :172-308): argmax(den(softmax(seg(x)))), with
+both raw-seg and denoised metric tables reported.
 """
 
 from __future__ import annotations
@@ -29,6 +32,15 @@ def build_parser():
     p.add_argument("--save_nii_dir", type=str, default=None)
     p.add_argument("--write_pred_key", type=str, default=None,
                    help="write predictions back into the case h5 under this key")
+    p.add_argument("--denoiser_model", type=str, default=None,
+                   help="stacked seg->denoiser inference (the reference's "
+                        "Inference_seg_ema_model / Inference_mad_model, "
+                        "test_2D_fully.py:172-308): a second model that eats "
+                        "softmax(seg(x)); reports raw-seg AND denoised "
+                        "metrics")
+    p.add_argument("--denoiser_checkpoint", type=str, default=None,
+                   help="orbax snapshot dir of the denoiser (e.g. a "
+                        "mad_pretrain run)")
     return p
 
 
@@ -54,28 +66,55 @@ def run_inference(args) -> dict:
     from mamba_unet_tpu.utils import latest_step, restore_checkpoint
     from scipy.ndimage import zoom as nd_zoom
 
-    model = net_factory(args.model, num_classes=args.num_classes)
-    sample = jnp.zeros((1, *args.patch_size, 1), jnp.float32)
-    variables = jax.jit(model.init)(jax.random.key(0), sample)
-    if args.checkpoint:
-        step = latest_step(args.checkpoint, "best")
-        name = "best" if step is not None else "state"
-        step = step if step is not None else latest_step(args.checkpoint)
-        assert step is not None, f"no checkpoint under {args.checkpoint}"
-        target = {"params": variables["params"],
-                  "batch_stats": variables.get("batch_stats", {})}
-        restored = restore_checkpoint(args.checkpoint, step, target, name)
-        variables = {"params": restored["params"]}
-        if restored.get("batch_stats"):
-            variables["batch_stats"] = restored["batch_stats"]
+    def build(name, in_ch, ckpt):
+        m = net_factory(name, num_classes=args.num_classes)
+        smp = jnp.zeros((1, *args.patch_size, in_ch), jnp.float32)
+        v = jax.jit(m.init)(jax.random.key(0), smp)
+        if ckpt:
+            step = latest_step(ckpt, "best")
+            nm = "best" if step is not None else "state"
+            step = step if step is not None else latest_step(ckpt)
+            assert step is not None, f"no checkpoint under {ckpt}"
+            target = {"params": v["params"],
+                      "batch_stats": v.get("batch_stats", {})}
+            restored = restore_checkpoint(ckpt, step, target, nm)
+            v = {"params": restored["params"]}
+            if restored.get("batch_stats"):
+                v["batch_stats"] = restored["batch_stats"]
+        return m, v
+
+    model, variables = build(args.model, 1, args.checkpoint)
+    den_model = den_variables = None
+    if args.denoiser_model:
+        den_model, den_variables = build(
+            args.denoiser_model, args.num_classes, args.denoiser_checkpoint)
+
+    def _main(out):
+        return out[0] if isinstance(out, (tuple, list)) else out
 
     @jax.jit
     def fwd(x):
-        out = model.apply(variables, x)
-        return out[0] if isinstance(out, (tuple, list)) else out
+        return _main(model.apply(variables, x))
+
+    @jax.jit
+    def fwd_stacked(x):
+        # the reference stacking: argmax(den(softmax(seg(x)))) —
+        # val_2D.test_single_volume_for_trainLabel
+        soft = jax.nn.softmax(_main(model.apply(variables, x)), axis=-1)
+        return _main(den_model.apply(den_variables, soft))
+
+    def case_metrics(pred, label):
+        metrics = []
+        for c in range(1, args.num_classes):
+            p, g = pred == c, label == c
+            if p.sum() > 0 and g.sum() > 0:
+                metrics.append((dice_binary(p, g), hd95(p, g), asd(p, g)))
+            else:
+                metrics.append((0.0, 0.0, 0.0))
+        return metrics
 
     ds = VolumeDataset(args.root_path, args.split)
-    per_case = []
+    per_case, per_case_den = [], []
     for i in range(len(ds)):
         case = ds[i]
         image, label = case["image"], case["label"]
@@ -91,21 +130,26 @@ def run_inference(args) -> dict:
             )
         logits = np.asarray(fwd(slices))[:z]
         pred_small = np.argmax(logits, axis=-1)
-        pred = np.stack([
-            nd_zoom(pred_small[k], (xx / ps[0], yy / ps[1]), order=0)
-            for k in range(z)
-        ])
 
-        metrics = []
-        for c in range(1, args.num_classes):
-            p, g = pred == c, label == c
-            if p.sum() > 0 and g.sum() > 0:
-                metrics.append((dice_binary(p, g), hd95(p, g), asd(p, g)))
-            else:
-                metrics.append((0.0, 0.0, 0.0))
+        def upsample(pred_s):
+            return np.stack([
+                nd_zoom(pred_s[k], (xx / ps[0], yy / ps[1]), order=0)
+                for k in range(z)
+            ])
+
+        pred = upsample(pred_small)
+        metrics = case_metrics(pred, label)
         per_case.append(metrics)
         logging.info("%s: dice %s", case["case"],
                      [round(m[0], 4) for m in metrics])
+
+        if den_model is not None:
+            den_logits = np.asarray(fwd_stacked(slices))[:z]
+            den_pred = upsample(np.argmax(den_logits, axis=-1))
+            dm = case_metrics(den_pred, label)
+            per_case_den.append(dm)
+            logging.info("%s (denoised): dice %s", case["case"],
+                         [round(m[0], 4) for m in dm])
 
         if args.save_nii_dir:
             os.makedirs(args.save_nii_dir, exist_ok=True)
@@ -131,11 +175,24 @@ def run_inference(args) -> dict:
         logging.info("class %d: dice %.4f hd95 %.4f asd %.4f", c + 1,
                      *mean_by_class[c])
     logging.info("MEAN: dice %.4f hd95 %.4f asd %.4f", *overall)
-    return {
+    out = {
         "per_case": arr,
         "mean_by_class": mean_by_class,
         "mean": overall,
     }
+    if per_case_den:
+        darr = np.asarray(per_case_den)
+        dmean_by_class = darr.mean(axis=0)
+        doverall = darr.mean(axis=(0, 1))
+        for c in range(darr.shape[1]):
+            logging.info("class %d (denoised): dice %.4f hd95 %.4f asd %.4f",
+                         c + 1, *dmean_by_class[c])
+        logging.info("MEAN (denoised): dice %.4f hd95 %.4f asd %.4f",
+                     *doverall)
+        out.update(per_case_denoised=darr,
+                   mean_by_class_denoised=dmean_by_class,
+                   mean_denoised=doverall)
+    return out
 
 
 def main(argv=None) -> int:

@@ -114,6 +114,44 @@ class LMEvaluator:
         n = max(len(docs), 1)
         return {"acc": acc / n, "acc_norm": acc_norm / n}
 
+    def generate_until(
+        self,
+        requests: Sequence[Tuple[Sequence[int], dict]],
+    ) -> List[List[int]]:
+        """Token-level analog of the harness's ``generate_until``
+        (``/root/reference/mamba/evals/lm_harness_eval.py:23-40`` inherits it
+        from HFLM): each request is ``(context_ids, gen_kwargs)`` with
+        ``gen_kwargs`` keys ``until`` (list of stop-token-id sequences),
+        ``max_gen_toks`` (default 128), ``temperature``/``top_k``/``top_p``
+        (default greedy). Returns the generated token ids per request,
+        truncated BEFORE the first stop-sequence occurrence. Contexts are
+        left-padded per length bucket so the compiled program is reused."""
+        import jax.numpy as jnp
+
+        from mamba_unet_tpu.models.mamba_lm import generate
+
+        out: List[List[int]] = []
+        for ctx, kw in requests:
+            kw = dict(kw or {})
+            max_new = int(kw.get("max_gen_toks", 128))
+            ids = jnp.asarray([list(ctx)], jnp.int32)
+            full = generate(
+                self.model, self.variables, ids,
+                max_new_tokens=max_new,
+                temperature=float(kw.get("temperature", 1.0)),
+                top_k=int(kw.get("top_k", 1)),
+                top_p=float(kw.get("top_p", 0.0)),
+            )
+            gen = np.asarray(full)[0, len(ctx):].tolist()
+            for stop in kw.get("until", []) or []:
+                stop = list(stop)
+                for i in range(len(gen) - len(stop) + 1):
+                    if gen[i : i + len(stop)] == stop:
+                        gen = gen[:i]
+                        break
+            out.append(gen)
+        return out
+
     def lambada(self, docs) -> dict:
         """docs: [{"context": ids, "target": ids}] (the final word's tokens).
         Returns {"acc": greedy exact-match rate, "ppl": e^(-mean ll/token)}."""
@@ -125,10 +163,15 @@ class LMEvaluator:
         return {"acc": acc, "ppl": float(np.exp(-total_ll / max(n_tok, 1)))}
 
 
-def make_harness_adapter(model, variables, batch_size: int = 8):
+def make_harness_adapter(model, variables, batch_size: int = 8,
+                         tokenizer=None):
     """If ``lm_eval`` is installed, return an ``LM`` subclass instance
     delegating to LMEvaluator (the MambaEvalWrapper role); else raise
-    ImportError — callers gate on availability."""
+    ImportError — callers gate on availability.
+
+    ``tokenizer`` (optional, needs .encode/.decode) enables string-level
+    ``generate_until`` requests as the harness issues them; without it,
+    requests must already carry token ids."""
     from lm_eval.api.model import LM  # noqa: F401 (optional dep)
 
     ev = LMEvaluator(model, variables, batch_size)
@@ -143,6 +186,25 @@ def make_harness_adapter(model, variables, batch_size: int = 8):
             return [ev.loglikelihood([((), r.args[0])])[0] for r in requests]
 
         def generate_until(self, requests):
-            raise NotImplementedError
+            outs = []
+            for r in requests:
+                ctx, kw = r.args[0], dict(r.args[1] or {})
+                if tokenizer is not None and isinstance(ctx, str):
+                    ids = tokenizer.encode(ctx)
+                    until = kw.get("until", []) or []
+                    kw["until"] = [tokenizer.encode(u) for u in until]
+                    gen, = ev.generate_until([(ids, kw)])
+                    text = tokenizer.decode(gen)
+                    # token-boundary stops can leave a partial match — cut
+                    # again at the string level (HFLM does the same)
+                    for u in until:
+                        idx = text.find(u)
+                        if idx >= 0:
+                            text = text[:idx]
+                    outs.append(text)
+                else:
+                    gen, = ev.generate_until([(ctx, kw)])
+                    outs.append(gen)
+            return outs
 
     return MambaJaxLM()

@@ -98,3 +98,58 @@ def convert_mamba_lm(torch_state: Dict[str, Any], params_template, pad_vocab=Tru
 
     new = jax.tree_util.tree_map_with_path(build, params_template)
     return new, {"loaded": len(updates), "missing": missing}
+
+
+def load_hf_snapshot(path: str, dtype=None):
+    """Build a flax MambaLMHeadModel from a LOCAL HF snapshot directory —
+    the zero-egress leg of ``MambaLMHeadModel.from_pretrained``
+    (``/root/reference/mamba/mamba_ssm/utils/hf.py:1-25`` fetches the same
+    two artifacts from the hub: ``config.json`` + weights).
+
+    ``path`` must contain ``config.json`` and one of ``pytorch_model.bin`` /
+    ``model.safetensors``. Returns ``(model, {"params": ...}, report)``.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "config.json")) as f:
+        cfg = json.load(f)
+
+    bin_path = os.path.join(path, "pytorch_model.bin")
+    st_path = os.path.join(path, "model.safetensors")
+    if os.path.isfile(bin_path):
+        import torch
+
+        sd = {k: v.detach().cpu().numpy()
+              for k, v in torch.load(bin_path, map_location="cpu",
+                                     weights_only=True).items()}
+    elif os.path.isfile(st_path):
+        from safetensors.numpy import load_file  # optional dep
+
+        sd = load_file(st_path)
+    else:
+        raise FileNotFoundError(
+            f"no pytorch_model.bin or model.safetensors under {path}")
+
+    import jax
+    import jax.numpy as jnp
+
+    from mamba_unet_tpu.models.mamba_lm import MambaLMHeadModel
+
+    ssm_cfg = cfg.get("ssm_cfg", {}) or {}
+    model = MambaLMHeadModel(
+        vocab_size=cfg["vocab_size"],
+        d_model=cfg["d_model"],
+        n_layer=cfg["n_layer"],
+        d_state=ssm_cfg.get("d_state", 16),
+        rms_norm=cfg.get("rms_norm", True),
+        pad_vocab_size_multiple=cfg.get("pad_vocab_size_multiple", 8),
+        bimamba_type=ssm_cfg.get("bimamba_type", "none"),
+        dtype=dtype or jnp.float32,
+    )
+    # real init as the template so any key the checkpoint lacks keeps a
+    # sensible initialization rather than zeros
+    template = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 4), jnp.int32))["params"]
+    params, report = convert_mamba_lm(sd, template)
+    return model, {"params": params}, report

@@ -78,3 +78,28 @@ def test_task_drivers(tiny_lm):
             "target": rng.integers(0, 61, 2).tolist()} for _ in range(3)]
     out = ev.lambada(lam)
     assert out["ppl"] > 0 and 0.0 <= out["acc"] <= 1.0
+
+
+def test_generate_until(tiny_lm):
+    """Greedy generate_until: cap at max_gen_toks, truncate before the first
+    stop-sequence occurrence (the harness's generate_until contract)."""
+    from mamba_unet_tpu.eval.lm_eval import LMEvaluator
+
+    model, variables = tiny_lm
+    ev = LMEvaluator(model, variables, batch_size=2)
+    ctx = [3, 7, 11, 2]
+
+    full, = ev.generate_until([(ctx, {"max_gen_toks": 8})])
+    assert len(full) == 8
+
+    # stop on a token we KNOW occurs (the 4th generated token); expected
+    # truncation point = its first occurrence in the untruncated output
+    stop = [full[3]]
+    want = full[: full.index(stop[0])]
+    cut, = ev.generate_until([(ctx, {"max_gen_toks": 8, "until": [stop]})])
+    assert cut == want
+
+    # a stop sequence that never occurs changes nothing
+    same, = ev.generate_until(
+        [(ctx, {"max_gen_toks": 8, "until": [[60, 60, 60]]})])
+    assert same == full

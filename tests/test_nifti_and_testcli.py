@@ -57,3 +57,24 @@ def test_cli_test_end_to_end(tmp_path, rng):
     with h5py.File(os.path.join(root, "data", "test_patient000.h5")) as f:
         assert "pred_test" in f
         assert f["pred_test"].shape == (3, 32, 32)
+
+
+def test_cli_test_stacked_denoiser(tmp_path, rng):
+    """Stacked seg->denoiser inference (--denoiser_model): both raw and
+    denoised metric tables come back finite (the Inference_seg_ema_model /
+    Inference_mad_model protocol, test_2D_fully.py:172-308)."""
+    from mamba_unet_tpu.cli.test import build_parser, run_inference
+    from mamba_unet_tpu.data import make_synthetic_acdc
+
+    root = make_synthetic_acdc(str(tmp_path / "acdc"), n_train_cases=1,
+                               slices_per_case=3, n_val_cases=0,
+                               n_test_cases=1, size=32)
+    args = build_parser().parse_args([
+        "--root_path", root, "--model", "unet", "--patch_size", "32", "32",
+        "--split", "test", "--denoiser_model", "unet",
+    ])
+    result = run_inference(args)
+    assert result["per_case"].shape == (1, 3, 3)
+    assert result["per_case_denoised"].shape == (1, 3, 3)
+    assert np.isfinite(result["mean"]).all()
+    assert np.isfinite(result["mean_denoised"]).all()
