@@ -38,6 +38,60 @@ def _phantom(rng: np.random.Generator, size: int) -> Tuple[np.ndarray, np.ndarra
     return image, label
 
 
+def _phantom_hard(rng: np.random.Generator, size: int,
+                  apical: bool = False) -> Tuple[np.ndarray, np.ndarray]:
+    """Discriminating phantom (VERDICT r2 task 4): wobbly class boundaries
+    (angular Fourier perturbation), overlapping class intensities under a
+    smooth bias field + spatially-correlated noise, 2-4 distractor blobs
+    with class-like intensities but background label, and optional apical
+    slices with NO RV (class imbalance). Hard enough that HD95 is nonzero
+    and 10%-labeled supervised training trails semi-supervised methods."""
+    from scipy.ndimage import gaussian_filter
+
+    h = w = size
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+    cy = h / 2 + rng.uniform(-h / 6, h / 6)
+    cx = w / 2 + rng.uniform(-w / 6, w / 6)
+    dy, dx = yy - cy, xx - cx
+    r = np.hypot(dy, dx)
+    th = np.arctan2(dy, dx)
+
+    def wobble():
+        out = np.ones_like(th)
+        for k in range(2, 6):
+            out += rng.uniform(0.0, 0.18) * np.sin(k * th + rng.uniform(0, 7))
+        return out
+
+    r_lv = size * rng.uniform(0.06, 0.11) * wobble()
+    r_myo = r_lv + size * rng.uniform(0.035, 0.08) * wobble()
+    label = np.zeros((h, w), np.uint8)
+    label[r < r_myo] = 2
+    label[r < r_lv] = 3
+    if not apical:
+        rv_cx = cx - np.mean(r_myo) * rng.uniform(1.1, 1.6)
+        rv_cy = cy + rng.uniform(-h / 10, h / 10)
+        rv_r = np.mean(r_myo) * rng.uniform(0.6, 1.1) * wobble()
+        rv = np.hypot(yy - rv_cy, xx - rv_cx) < rv_r
+        label[rv & (label == 0)] = 1
+
+    # overlapping intensities: class means closer together, per-slice jitter
+    means = np.array([0.25, 0.45, 0.55, 0.75]) + rng.uniform(-0.06, 0.06, 4)
+    image = means[label].astype(np.float32)
+    # distractor blobs in the background with class-like intensities
+    for _ in range(rng.integers(2, 5)):
+        bx, by = rng.uniform(0, w), rng.uniform(0, h)
+        br = size * rng.uniform(0.03, 0.09)
+        blob = np.hypot(yy - by, xx - bx) < br
+        image[blob & (label == 0)] = rng.choice(means[1:])
+    # smooth multiplicative bias field + correlated + white noise
+    bias = gaussian_filter(rng.standard_normal((h, w)), size / 6)
+    bias = 1.0 + 0.35 * bias / (np.abs(bias).max() + 1e-6)
+    tex = gaussian_filter(rng.standard_normal((h, w)), 1.5).astype(np.float32)
+    image = image * bias + 0.35 * tex + 0.10 * rng.standard_normal((h, w))
+    image = np.clip(image, 0, 1.6).astype(np.float32) / 1.6
+    return image, label
+
+
 def make_synthetic_acdc(
     root: str,
     n_train_cases: int = 4,
@@ -46,16 +100,26 @@ def make_synthetic_acdc(
     n_test_cases: int = 0,
     size: int = 64,
     seed: int = 0,
+    hard: bool = False,
 ) -> str:
-    """Create the dataset under ``root`` and return ``root``."""
+    """Create the dataset under ``root`` and return ``root``.
+
+    ``hard=True`` uses the discriminating phantom (_phantom_hard); the last
+    ~30% of each case's slices are apical (no RV)."""
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "data", "slices"), exist_ok=True)
+
+    def gen(s):
+        if hard:
+            return _phantom_hard(rng, size,
+                                 apical=(s >= 0.7 * slices_per_case))
+        return _phantom(rng, size)
 
     train_ids = []
     for c in range(n_train_cases):
         case = f"patient{c:03d}_frame01"
         for s in range(slices_per_case):
-            image, label = _phantom(rng, size)
+            image, label = gen(s)
             sid = f"{case}_slice_{s}"
             with h5py.File(os.path.join(root, "data", "slices", f"{sid}.h5"), "w") as f:
                 f.create_dataset("image", data=image)
@@ -67,8 +131,8 @@ def make_synthetic_acdc(
         for c in range(n):
             case = f"{prefix}{c:03d}"
             vol_img, vol_lab = [], []
-            for _ in range(slices_per_case):
-                image, label = _phantom(rng, size)
+            for s in range(slices_per_case):
+                image, label = gen(s)
                 vol_img.append(image)
                 vol_lab.append(label)
             with h5py.File(os.path.join(root, "data", f"{case}.h5"), "w") as f:
