@@ -48,6 +48,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="labeled half of each batch (semi-supervised methods)")
     p.add_argument("--labeled_num", type=int, default=140,
                    help="labeled patients (patients_to_slices table)")
+    p.add_argument("--labeled_slices", type=int, default=None,
+                   help="explicit labeled SLICE count (overrides the "
+                        "patients_to_slices table; required granularity for "
+                        "synthetic semi evidence runs)")
     p.add_argument("--base_lr", type=float, default=0.01)
     p.add_argument("--optimizer", type=str, default="sgd",
                    choices=["sgd", "adamw"],
@@ -282,8 +286,13 @@ def main(argv=None) -> int:
             error_val=args.image_noise, seed=args.seed,
         ))
     else:
+        # --labeled_slices with fully_supervised = the labeled-only
+        # baseline of the semi papers' tables (train on just that subset)
+        n_sup = (args.labeled_slices
+                 if args.method == "fully_supervised" else None)
         train_ds = SliceDataset(
-            root, transform=RandomGenerator(cfg.patch_size, seed=args.seed)
+            root, num=n_sup,
+            transform=RandomGenerator(cfg.patch_size, seed=args.seed)
         )
     val_ds = VolumeDataset(root, "val")
 
@@ -344,11 +353,12 @@ def main(argv=None) -> int:
         else:
             trainer = Trainer(model, cfg, tx=_make_tx(args))
     else:
-        n_labeled = (
-            patients_to_slices("ACDC", args.labeled_num)
-            if not args.synthetic
-            else max(2, len(train_ds) // 4)
-        )
+        if args.labeled_slices is not None:
+            n_labeled = max(2, args.labeled_slices)
+        elif args.synthetic:
+            n_labeled = max(2, len(train_ds) // 4)
+        else:
+            n_labeled = patients_to_slices("ACDC", args.labeled_num)
         n_labeled = min(n_labeled, len(train_ds) - 1)
         sampler = TwoStreamBatchSampler(
             range(n_labeled),

@@ -43,7 +43,6 @@ from __future__ import annotations
 
 import functools
 import os as _os
-import warnings
 from typing import Optional, Tuple
 
 import jax
@@ -52,46 +51,43 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 DEFAULT_CHUNK = 128
-# VMEM is ~16 MB/core on v5e; the backward's vectorized epilogue additionally
-# materializes fp32 casts of the slabs on the Mosaic stack, so the slab budget
-# must stay well under the hardware limit (12 MB OOM'd the bwd at dg=192).
-_VMEM_BUDGET = 8 * 1024 * 1024
-# Slab accounting for tiling: the backward holds 4 (btile, Lc, N, dgt)
-# scratch buffers (a, xs, xsp, e) in the I/O dtype PLUS ~one fp32 slab of
-# Mosaic stack temporaries for the vectorized epilogue (e*a*xsp). The
-# forward's 2 slabs fit whenever the backward's do, and both passes MUST
-# agree on the chunk grid (the saved chunk-entry states align).
-_N_SLABS = 4
-_TEMP_BYTES = 4
+# VMEM is ~16 MB/core on v5e. Round 3: the fwd/bwd epilogues are chunked
+# into static 16-step sub-ranges (_EPI_QUARTER), capping the fp32 stack
+# temporaries at a fixed size instead of scaling with Lc — that is what
+# lets the budget grow past round 2's 8 MB (12 MB OOM'd then because the
+# eaxp temp scaled with the slabs). Bigger budget -> bigger bt*Lc -> fewer
+# grid cells (~0.9 us fixed cost each, measured benchmarks/pass_micro.py).
+_VMEM_BUDGET = 56 * 1024 * 1024
+_EPI_QUARTER = int(_os.environ.get("MAMBA_SCAN_EPI", "16"))
+# Per-step lane-work cap: the r2/r3 sweeps consistently rank tile choices
+# with btile*dgt_padded ~ 2048 first (stage winners: 192x8, 384x4, 256x8,
+# 512x4) — fatter per-step slabs stall the serial loop, thinner ones waste
+# issue slots. Among feasible tiles, maximize bt*dgt_p <= cap, then
+# minimize sequential steps.
+_LANE_WORK_CAP = int(_os.environ.get("MAMBA_SCAN_LANE_CAP", "2048"))
+# L-chunk default: the r3 sweep measured fwd/grad FLAT in Lc from 16..96
+# (grid-cell savings are offset by longer in-cell epilogues), so the
+# smallest legal chunk wins on VMEM and compile time.
+_LC_DEFAULT = int(_os.environ.get("MAMBA_SCAN_LC", "16"))
+# Mosaic's default scoped-VMEM budget is 16 MiB, but v5e physically has
+# 128 MiB of VMEM per core — raising the per-kernel limit is what unlocks
+# bigger bt*Lc tiles (fewer ~0.9us grid cells). Kept well under the
+# hardware limit to leave room for XLA's own scoped allocations.
+_VMEM_LIMIT_BYTES = int(_os.environ.get("MAMBA_SCAN_VMEM_LIMIT",
+                                        str(64 * 1024 * 1024)))
+
+
+def _compiler_params():
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+# Slab accounting for tiling: the backward holds 3 (btile, Lc, N, dgt)
+# scratch buffers (a, xs, e) in the I/O dtype (x_{t-1} is read as shifted
+# slices of xs, no dedicated slab); the chunked epilogue's fp32 temporaries
+# are Lc-independent and accounted in _fixed_bytes. The forward's 2 slabs
+# fit whenever the backward's do, and both passes MUST agree on the chunk
+# grid (the saved chunk-entry states align).
+_N_SLABS = 3
+_TEMP_BYTES = 0
 _UNROLL = int(_os.environ.get("MAMBA_SCAN_UNROLL", "4"))
-# Kernel variant: "slab" materializes (Lc, N, dgt) gate/value slabs and runs
-# a 1-FMA loop; "fused" (v3) materializes NO N-sized slabs — gates are
-# recomputed in-loop from (Lc, dgt) delta slabs and the y-contraction /
-# gradient reductions are fused into the loops. The slab loop is
-# VMEM-bandwidth bound (benchmarks/kernel_variants.py), so N-fold less slab
-# traffic wins when the extra in-register ops stay under the saved traffic.
-
-
-def _variant() -> str:
-    """Kernel variant, re-read from the environment at trace time so tests
-    and benchmarks can switch it without re-importing the module. The
-    custom-VJP forward and backward both read it at trace time of the same
-    jit, so the chunk grids they derive always agree.
-
-    The fused pair is currently INTERPRET-ONLY: its per-step loads index the
-    sublane dim of rank-3 (Lc, dgt) slabs, which Mosaic cannot compile
-    ("cannot statically prove that index in dimension 1 is a multiple of 8"
-    — the slab kernels dodge this by keeping the step index on the untiled
-    dim of rank-4 slabs). On a real TPU backend the flag falls back to slab
-    until a Mosaic-compatible port lands (docs/PROFILE.md)."""
-    v = _os.environ.get("MAMBA_SCAN_VARIANT", "slab")
-    if v == "fused" and on_tpu():
-        warnings.warn(
-            "MAMBA_SCAN_VARIANT=fused is interpret-only for now (Mosaic "
-            "rejects its dynamic sublane indexing); using 'slab' on TPU."
-        )
-        return "slab"
-    return v
 
 
 def on_tpu() -> bool:
@@ -122,52 +118,68 @@ def _dg_tile(dg: int) -> Optional[int]:
     return cands[0] if cands else None
 
 
-def _slab_bytes_per_step(n_p: int, dgt_p: int, btile: int, itemsize: int,
-                         variant: str) -> int:
-    """Lc-scaled VMEM bytes per timestep of chunk scratch (+temp headroom).
-
-    slab:  4 (Lc, N, dgt) slabs (bwd worst case) in the I/O dtype + fp32
-           epilogue stack temporaries.
-    fused: ONE (Lc, N, dgt) slab (the bwd's recomputed states) + two tiny
-           (Lc, dgt) delta slabs; in-loop (N, dgt) temporaries don't scale
-           with Lc — accounted via _fixed_bytes."""
-    if variant == "fused":
-        return itemsize * btile * n_p * dgt_p + 2 * itemsize * btile * dgt_p
+def _slab_bytes_per_step(n_p: int, dgt_p: int, btile: int,
+                         itemsize: int) -> int:
+    """Lc-scaled VMEM bytes per timestep of chunk scratch: 3 (Lc, N, dgt)
+    slabs (bwd worst case: a/xs/e) in the I/O dtype; the epilogue's fp32
+    stack temporaries are Lc-independent (chunked) — see _fixed_bytes."""
     return (_N_SLABS * itemsize + _TEMP_BYTES) * btile * n_p * dgt_p
 
 
-def _fixed_bytes(n_p: int, dgt_p: int, btile: int, variant: str) -> int:
-    """Lc-independent scratch: carried state(s) + per-step register blocks."""
-    per = 8 if variant == "fused" else 2  # e/a/eaxp/acc/carry... headroom
-    return per * 4 * btile * n_p * dgt_p
+def _fixed_bytes(n_p: int, dgt_p: int, btile: int) -> int:
+    """Lc-independent scratch: carried state + per-step register blocks
+    + the chunked epilogue's fp32 temporaries (~5 quarter-sized fp32
+    blocks: e/a/xsp/xs casts + eaxp)."""
+    per = 2  # carry + in-loop register block headroom
+    epi = 5 * 4 * btile * _EPI_QUARTER * n_p * dgt_p
+    return per * 4 * btile * n_p * dgt_p + epi
+
+
+def _build_slab(out_ref, fn, Lc: int):
+    """Fill a (bt, Lc, N, dgt) scratch slab in _EPI_QUARTER-sized strips.
+
+    Building the whole slab in one expression materializes a full-slab fp32
+    temporary on the Mosaic stack (the value before the bf16 cast); strip
+    writes cap that temp at quarter size, which is what lets bt*Lc grow.
+    ``fn(lo, hi)`` returns the strip value for rows [lo, hi).
+    """
+    nq = max(1, Lc // _EPI_QUARTER)
+    qs = Lc // nq
+    for q in range(nq):
+        lo, hi = q * qs, (q + 1) * qs
+        out_ref[:, lo:hi] = fn(lo, hi).astype(out_ref.dtype)
 
 
 def _cap_chunk(chunk: int, L: int, n: int, dgt: int, btile: int,
-               itemsize: int, variant: str) -> int:
+               itemsize: int) -> int:
     """Shrink the L-chunk so the chunk scratch stays within the VMEM budget.
     Sublane-tile multiple of 16 covers bf16."""
     n_p, dgt_p = _padded(n, dgt)
-    per_step = _slab_bytes_per_step(n_p, dgt_p, btile, itemsize, variant)
-    budget = _VMEM_BUDGET - _fixed_bytes(n_p, dgt_p, btile, variant)
+    per_step = _slab_bytes_per_step(n_p, dgt_p, btile, itemsize)
+    budget = _VMEM_BUDGET - _fixed_bytes(n_p, dgt_p, btile)
     cap = max(budget // per_step, 16)
-    return max(16, (min(chunk, L, cap) // 16) * 16)
+    return max(16, (min(chunk, L, cap, _LC_DEFAULT) // 16) * 16)
 
 
-def _pick_tiles(bsz: int, n: int, dg: int, itemsize: int, variant: str):
-    """Choose (dgt, btile) minimizing the total count of SEQUENTIAL loop
-    steps, (B/btile) * (dg/dgt) — the loop has a fixed per-step issue cost
-    (bookkeeping + load/store latency) that dominates at small slabs, so
-    fewer, fatter steps win (measured: whole-dg beat the 128-lane tiling by
-    1.5x at dg=384; batch tile 8 beat 2 by 25% at dg=192)."""
+def _pick_tiles(bsz: int, n: int, dg: int, itemsize: int):
+    """Choose (dgt, btile): among VMEM-feasible tiles with per-step lane
+    work btile*dgt_padded <= _LANE_WORK_CAP, minimize the total count of
+    SEQUENTIAL loop steps (B/btile) * (dg/dgt) — the loop has a fixed
+    per-step issue cost, so fewer steps win UP TO the lane-work cap, past
+    which the fat per-step slab itself stalls the loop (measured, r2+r3
+    sweeps: stage winners 192x8 / 384x4 / 256x8 / 512x4, all ~2048).
+    Ties prefer the larger dgt (fewer dg tiles -> fewer grid cells)."""
     n_p = _padded(n, 128)[0]
     best = None
     for dgt in _dg_candidates(dg):
         dgt_p = _padded(n, dgt)[1]
-        per16 = (16 * _slab_bytes_per_step(n_p, dgt_p, 1, itemsize, variant))
+        per16 = (16 * _slab_bytes_per_step(n_p, dgt_p, 1, itemsize))
         for bt in (8, 4, 2, 1):
             if bsz % bt:
                 continue
-            if per16 * bt + _fixed_bytes(n_p, dgt_p, bt, variant) > _VMEM_BUDGET:
+            if bt * dgt_p > _LANE_WORK_CAP:
+                continue
+            if per16 * bt + _fixed_bytes(n_p, dgt_p, bt) > _VMEM_BUDGET:
                 continue
             steps = (bsz // bt) * (dg // dgt)
             key = (steps, -dgt)
@@ -228,11 +240,15 @@ def _fwd_kernel(
     raw = d_ref[:, 0].astype(jnp.float32) + db_ref[0][None]
     dlt = jax.nn.softplus(raw) if softplus else raw
     du = dlt * u                                     # (bt, Lc, dgt)
+    _sq = functools.partial(jax.lax.slice_in_dim, axis=1)
     # gate / b-value slabs in the I/O dtype (bf16 halves the loop's VMEM
-    # traffic — the recurrence is VMEM-bandwidth bound)
-    a_ref[:] = jnp.exp(dlt[:, :, None, :] * A[None, None]).astype(a_ref.dtype)
+    # traffic — the recurrence is VMEM-bandwidth bound), built in strips to
+    # cap the pre-cast fp32 stack temporaries
     Bc = B_ref[:, 0].astype(jnp.float32)             # (bt, Lc, N)
-    xs_ref[:] = (Bc[..., None] * du[:, :, None, :]).astype(xs_ref.dtype)
+    _build_slab(a_ref, lambda lo, hi: jnp.exp(
+        _sq(dlt, lo, hi)[:, :, None, :] * A[None, None]), Lc)
+    _build_slab(xs_ref, lambda lo, hi: (
+        _sq(Bc, lo, hi)[..., None] * _sq(du, lo, hi)[:, :, None, :]), Lc)
 
     cs_ref[:, 0, 0, 0] = state_ref[:]                # entry state of the chunk
 
@@ -252,67 +268,23 @@ def _fwd_kernel(
 
     state_ref[:] = jax.lax.fori_loop(0, Lc // _UNROLL, body, state_ref[:])
 
+    # y epilogue chunked like the backward's so fp32 stack temps stay small;
+    # quarters are buffered and stored ONCE (sublane-sliced output writes
+    # lower as unsupported gathers). Value slices MUST be lax.slice_in_dim:
+    # jnp basic indexing on traced values lowers as `gather`, which Mosaic
+    # rejects above rank 2.
     Cc = C_ref[:, 0].astype(jnp.float32)             # (bt, Lc, N)
-    y = jnp.sum(Cc[..., None] * xs_ref[:].astype(jnp.float32), axis=2)
-    y_ref[:, 0] = (y + Dsk_ref[0][None] * u).astype(y_ref.dtype)
-
-
-def _fwd_kernel_fused(
-    A_ref,      # (1, N, dgt)
-    db_ref,     # (1, 1, dgt)
-    Dsk_ref,    # (1, 1, dgt)
-    u_ref,      # (bt, 1, Lc, dgt)
-    d_ref,      # (bt, 1, Lc, dgt)
-    B_ref,      # (bt, 1, Lc, N)
-    C_ref,      # (bt, 1, Lc, N)
-    y_ref,      # (bt, 1, Lc, dgt) out
-    cs_ref,     # (bt, 1, 1, 1, N, dgt) out: chunk ENTRY state
-    state_ref,  # scratch (bt, N, dgt)
-    dlt_ref,    # scratch (bt, Lc, dgt)
-    du_ref,     # scratch (bt, Lc, dgt)
-    *,
-    softplus: bool,
-    Lc: int,
-    bidir: bool = False,
-):
-    """Traffic-minimal forward: no (Lc, N, dgt) slabs. The gate
-    a_t = exp(dlt_t * A) is recomputed in-loop from the (Lc, dgt) delta slab
-    and y is contracted in-loop (x_t never stored)."""
-    ck = pl.program_id(3)
-
-    @pl.when(ck == 0)
-    def _():
-        state_ref[:] = jnp.zeros_like(state_ref)
-
-    A = A_ref[0]                                     # (N, dgt)
-    u = u_ref[:, 0].astype(jnp.float32)
-    raw = d_ref[:, 0].astype(jnp.float32) + db_ref[0][None]
-    dlt = jax.nn.softplus(raw) if softplus else raw
-    dlt_ref[:] = dlt.astype(dlt_ref.dtype)
-    du_ref[:] = (dlt * u).astype(du_ref.dtype)
-    Dsk = Dsk_ref[0, 0]
-
-    cs_ref[:, 0, 0, 0] = state_ref[:]
-
-    r = (pl.program_id(1) // 2) if bidir else 0
-
-    def body(i, x):
-        for j in range(_UNROLL):
-            t = i * _UNROLL + j
-            te = t + r * (Lc - 1 - 2 * t)
-            dlt_t = dlt_ref[:, te].astype(jnp.float32)      # (bt, dgt)
-            a_t = jnp.exp(dlt_t[:, None, :] * A[None])      # (bt, N, dgt)
-            du_t = du_ref[:, te].astype(jnp.float32)
-            B_t = B_ref[:, 0, te].astype(jnp.float32)       # (bt, N)
-            C_t = C_ref[:, 0, te].astype(jnp.float32)
-            x = a_t * x + B_t[:, :, None] * du_t[:, None, :]
-            y_t = jnp.sum(C_t[:, :, None] * x, axis=1)
-            y_ref[:, 0, te] = (
-                y_t + Dsk[None] * u_ref[:, 0, te].astype(jnp.float32)
-            ).astype(y_ref.dtype)
-        return x
-
-    state_ref[:] = jax.lax.fori_loop(0, Lc // _UNROLL, body, state_ref[:])
+    nq = max(1, Lc // _EPI_QUARTER)
+    qs = Lc // nq
+    ys = []
+    for q in range(nq):
+        lo, hi = q * qs, (q + 1) * qs
+        Cc_q = jax.lax.slice_in_dim(Cc, lo, hi, axis=1)
+        u_q = jax.lax.slice_in_dim(u, lo, hi, axis=1)
+        y = jnp.sum(Cc_q[..., None] * xs_ref[:, lo:hi].astype(jnp.float32),
+                    axis=2)
+        ys.append((y + Dsk_ref[0][None] * u_q).astype(y_ref.dtype))
+    y_ref[:, 0] = ys[0] if nq == 1 else jnp.concatenate(ys, axis=1)
 
 
 # ---------------------------------------------------------------------------
@@ -339,7 +311,6 @@ def _bwd_kernel(
     ddb_ref,    # out (1, 1, 1, dgt)   accumulated
     carry_ref,  # scratch (bt, N, dgt): a_0*e_0 of the later-in-scan chunk
     a_ref,      # scratch (bt, Lc, N, dgt)
-    xsp_ref,    # scratch (bt, Lc, N, dgt): x_{t-1} (pre-update states)
     xs_ref,     # scratch (bt, Lc, N, dgt): x_t
     e_ref,      # scratch (bt, Lc, N, dgt): dL/dx_t
     *,
@@ -361,16 +332,19 @@ def _bwd_kernel(
     raw = d_ref[:, 0].astype(jnp.float32) + db_ref[0][None]
     dlt = jax.nn.softplus(raw) if softplus else raw
     du_in = dlt * u
-    a_ref[:] = jnp.exp(dlt[:, :, None, :] * A[None, None]).astype(a_ref.dtype)
+    _sq = functools.partial(jax.lax.slice_in_dim, axis=1)
     Bc = B_ref[:, 0].astype(jnp.float32)
     Cc = C_ref[:, 0].astype(jnp.float32)
     g = g_ref[:, 0].astype(jnp.float32)              # (bt, Lc, dgt)
+    _build_slab(a_ref, lambda lo, hi: jnp.exp(
+        _sq(dlt, lo, hi)[:, :, None, :] * A[None, None]), Lc)
 
     # bidir: directions g >= 2 scanned the data in reversed time order
     r = (pl.program_id(1) // 2) if bidir else 0
 
     # --- recompute within-chunk forward from the saved entry state ---
-    xs_ref[:] = (Bc[..., None] * du_in[:, :, None, :]).astype(xs_ref.dtype)
+    _build_slab(xs_ref, lambda lo, hi: (
+        _sq(Bc, lo, hi)[..., None] * _sq(du_in, lo, hi)[:, :, None, :]), Lc)
 
     def fbody(i, x):
         for j in range(_UNROLL):
@@ -382,24 +356,10 @@ def _bwd_kernel(
         return x
 
     jax.lax.fori_loop(0, Lc // _UNROLL, fbody, cs_ref[:, 0, 0, 0])
-    # x_{t-1} = xs shifted one step back in SCAN order, entry state first —
-    # a vectorized copy instead of a second per-step store in the loop
-    if bidir:
-        @pl.when(r == 0)
-        def _():
-            xsp_ref[:, 0] = cs_ref[:, 0, 0, 0].astype(xsp_ref.dtype)
-            xsp_ref[:, 1:] = xs_ref[:, : Lc - 1]
-
-        @pl.when(r == 1)
-        def _():
-            xsp_ref[:, Lc - 1] = cs_ref[:, 0, 0, 0].astype(xsp_ref.dtype)
-            xsp_ref[:, : Lc - 1] = xs_ref[:, 1:]
-    else:
-        xsp_ref[:, 0] = cs_ref[:, 0, 0, 0].astype(xsp_ref.dtype)
-        xsp_ref[:, 1:] = xs_ref[:, : Lc - 1]
 
     # --- reverse scan (in scan order): e_t = C_t g_t + a_{t+1} e_{t+1} ---
-    e_ref[:] = (Cc[..., None] * g[:, :, None, :]).astype(e_ref.dtype)
+    _build_slab(e_ref, lambda lo, hi: (
+        _sq(Cc, lo, hi)[..., None] * _sq(g, lo, hi)[:, :, None, :]), Lc)
 
     def rbody(i, carry):
         for j in range(_UNROLL):
@@ -412,153 +372,73 @@ def _bwd_kernel(
 
     carry_ref[:] = jax.lax.fori_loop(0, Lc // _UNROLL, rbody, carry_ref[:])
 
-    # --- vectorized gradient epilogue (fp32 accumulation) ---
-    e = e_ref[:].astype(jnp.float32)
-    a = a_ref[:].astype(jnp.float32)
-    xsp = xsp_ref[:].astype(jnp.float32)
-    xs = xs_ref[:].astype(jnp.float32)
+    # --- vectorized gradient epilogue (fp32 accumulation), chunked into
+    # static Lc sub-ranges so the fp32 stack temporaries (eaxp etc.) stay a
+    # fraction of the slab size — that cap is what lets the VMEM budget (and
+    # with it bt*Lc, i.e. fewer grid cells) grow past round 2's 8 MB ---
+    nq = max(1, Lc // _EPI_QUARTER)
+    qs = Lc // nq
+    dds, dus, dBs, dCs = [], [], [], []
+    dA_acc = jnp.zeros_like(dA_ref[0, 0])
+    dD_acc = jnp.zeros_like(dD_ref[0, 0, 0])
+    ddb_acc = jnp.zeros_like(ddb_ref[0, 0, 0])
+    _s = functools.partial(jax.lax.slice_in_dim, axis=1)  # NOT x[:, sl]:
+    # jnp basic indexing on traced values lowers as Mosaic-illegal `gather`
+    # x_{t-1} in SCAN order comes from shifted reads of the xs slab (entry
+    # state at the scan-order start) — round 3 dropped the dedicated xsp
+    # slab to fit 3 slabs instead of 4 in VMEM (bigger bt*Lc tiles win).
+    entry = cs_ref[:, 0, 0, 0].astype(xs_ref.dtype)[:, None]  # (bt,1,N,dgt)
+    for q in range(nq):
+        lo, hi = q * qs, (q + 1) * qs
+        e = e_ref[:, lo:hi].astype(jnp.float32)
+        a = a_ref[:, lo:hi].astype(jnp.float32)
+        if bidir:
+            # r==0: xsp[d] = xs[d-1] (entry at d==0); r==1: xs[d+1]
+            # (entry at d==Lc-1). Both slices are cheap slab reads; one
+            # select picks the live one for this direction.
+            xsp_r0 = (jnp.concatenate([entry, xs_ref[:, :hi - 1]], axis=1)
+                      if q == 0 else xs_ref[:, lo - 1:hi - 1])
+            xsp_r1 = (jnp.concatenate([xs_ref[:, lo + 1:], entry], axis=1)
+                      if q == nq - 1 else xs_ref[:, lo + 1:hi + 1])
+            xsp = jnp.where(r == 0, xsp_r0, xsp_r1).astype(jnp.float32)
+        else:
+            xsp = (jnp.concatenate([entry, xs_ref[:, :hi - 1]], axis=1)
+                   if q == 0 else
+                   xs_ref[:, lo - 1:hi - 1]).astype(jnp.float32)
+        xs = xs_ref[:, lo:hi].astype(jnp.float32)
+        dlt_q = _s(dlt, lo, hi)
+        u_q = _s(u, lo, hi)
+        g_q = _s(g, lo, hi)
+        Bc_q = _s(Bc, lo, hi)
 
-    eaxp = e * a * xsp                               # (bt, Lc, N, dgt)
-    # delta from the a-path + from the b-path
-    dd_a = jnp.sum(eaxp * A[None, None], axis=2)     # (bt, Lc, dgt)
-    ddu = jnp.sum(e * Bc[..., None], axis=2)         # (bt, Lc, dgt)
-    dd_total = dd_a + ddu * u
-    if softplus:
-        dd_total = dd_total * jax.nn.sigmoid(raw)
-    dd_ref[:, 0] = dd_total.astype(dd_ref.dtype)
-    du_ref[:, 0] = (ddu * dlt + Dsk_ref[0][None] * g).astype(du_ref.dtype)
-    dB_ref[:, 0] = jnp.sum(e * du_in[:, :, None, :], axis=3).astype(dB_ref.dtype)
-    dC_ref[:, 0] = jnp.sum(xs * g[:, :, None, :], axis=3).astype(dC_ref.dtype)
-    dA_ref[0, 0] += jnp.sum(eaxp * dlt[:, :, None, :], axis=(0, 1))  # (N, dgt)
-    dD_ref[0, 0, 0] += jnp.sum(g * u, axis=(0, 1))
-    ddb_ref[0, 0, 0] += jnp.sum(dd_total, axis=(0, 1))
+        eaxp = e * a * xsp                           # (bt, qs, N, dgt)
+        # delta from the a-path + from the b-path
+        dd_a = jnp.sum(eaxp * A[None, None], axis=2)  # (bt, qs, dgt)
+        ddu = jnp.sum(e * Bc_q[..., None], axis=2)    # (bt, qs, dgt)
+        dd_total = dd_a + ddu * u_q
+        if softplus:
+            dd_total = dd_total * jax.nn.sigmoid(_s(raw, lo, hi))
+        dds.append(dd_total.astype(dd_ref.dtype))
+        dus.append((ddu * dlt_q + Dsk_ref[0][None] * g_q).astype(
+            du_ref.dtype))
+        dBs.append(jnp.sum(
+            e * (dlt_q * u_q)[:, :, None, :], axis=3).astype(dB_ref.dtype))
+        dCs.append(jnp.sum(
+            xs * g_q[:, :, None, :], axis=3).astype(dC_ref.dtype))
+        dA_acc += jnp.sum(eaxp * dlt_q[:, :, None, :], axis=(0, 1))
+        dD_acc += jnp.sum(g_q * u_q, axis=(0, 1))
+        ddb_acc += jnp.sum(dd_total, axis=(0, 1))
 
+    def _cat(parts):
+        return parts[0] if nq == 1 else jnp.concatenate(parts, axis=1)
 
-def _bwd_kernel_fused(
-    A_ref,      # (1, N, dgt)
-    db_ref,     # (1, 1, dgt)
-    Dsk_ref,    # (1, 1, dgt)
-    u_ref,      # (bt, 1, Lc, dgt)
-    d_ref,      # (bt, 1, Lc, dgt)
-    B_ref,      # (bt, 1, Lc, N)
-    C_ref,      # (bt, 1, Lc, N)
-    cs_ref,     # (bt, 1, 1, 1, N, dgt) saved entry state
-    g_ref,      # (bt, 1, Lc, dgt) incoming dy
-    du_ref,     # out (bt, 1, Lc, dgt)
-    dd_ref,     # out (bt, 1, Lc, dgt)
-    dB_ref,     # out (bt, 1, Lc, N)
-    dC_ref,     # out (bt, 1, Lc, N)
-    dA_ref,     # out (1, 1, N, dgt)   accumulated over chunks + batch tile
-    dD_ref,     # out (1, 1, 1, dgt)   accumulated
-    ddb_ref,    # out (1, 1, 1, dgt)   accumulated
-    carry_ref,  # scratch (bt, N, dgt): a_0*e_0 of the later-in-scan chunk
-    dacc_ref,   # scratch (bt, N, dgt): per-cell dA accumulator
-    dlt_ref,    # scratch (bt, Lc, dgt)
-    dus_ref,    # scratch (bt, Lc, dgt)
-    xs_ref,     # scratch (bt, Lc, N, dgt): x_t (the ONE big slab)
-    *,
-    softplus: bool,
-    Lc: int,
-    bidir: bool = False,
-):
-    """Traffic-minimal backward: one (Lc, N, dgt) slab (the recomputed
-    states) instead of four. Gates are recomputed in both loops from the
-    (Lc, dgt) delta slab; every per-step gradient is produced INSIDE the
-    reverse loop and written straight to its output block (no e/xsp slabs,
-    no multi-pass epilogue). softplus'(raw) = 1 - exp(-softplus(raw)), so
-    the raw pre-activation never needs storing."""
-    ck = pl.program_id(3)  # 0 = LAST chunk in scan order (walk via index_map)
-
-    @pl.when(ck == 0)
-    def _():
-        carry_ref[:] = jnp.zeros_like(carry_ref)
-        dA_ref[:] = jnp.zeros_like(dA_ref)
-        dD_ref[:] = jnp.zeros_like(dD_ref)
-        ddb_ref[:] = jnp.zeros_like(ddb_ref)
-
-    A = A_ref[0]
-    u = u_ref[:, 0].astype(jnp.float32)
-    raw = d_ref[:, 0].astype(jnp.float32) + db_ref[0][None]
-    dlt = jax.nn.softplus(raw) if softplus else raw
-    dlt_ref[:] = dlt.astype(dlt_ref.dtype)
-    dus_ref[:] = (dlt * u).astype(dus_ref.dtype)
-    Dsk = Dsk_ref[0, 0]
-
-    r = (pl.program_id(1) // 2) if bidir else 0
-
-    def te_of(t):
-        return t + r * (Lc - 1 - 2 * t)
-
-    # --- recompute within-chunk forward from the saved entry state ---
-    def fbody(i, x):
-        for j in range(_UNROLL):
-            t = i * _UNROLL + j
-            te = te_of(t)
-            dlt_t = dlt_ref[:, te].astype(jnp.float32)
-            a_t = jnp.exp(dlt_t[:, None, :] * A[None])
-            x = a_t * x + (
-                B_ref[:, 0, te].astype(jnp.float32)[:, :, None]
-                * dus_ref[:, te].astype(jnp.float32)[:, None, :]
-            )
-            xs_ref[:, te] = x.astype(xs_ref.dtype)
-        return x
-
-    jax.lax.fori_loop(0, Lc // _UNROLL, fbody, cs_ref[:, 0, 0, 0])
-
-    # --- reverse scan with fused per-step gradients ---
-    dacc_ref[:] = jnp.zeros_like(dacc_ref)
-
-    def rbody(i, carry):
-        acc = jnp.zeros_like(dacc_ref[:])
-        for j in range(_UNROLL):
-            t = Lc - 1 - (i * _UNROLL + j)
-            te = te_of(t)
-            dlt_t = dlt_ref[:, te].astype(jnp.float32)       # (bt, dgt)
-            a_t = jnp.exp(dlt_t[:, None, :] * A[None])       # (bt, N, dgt)
-            g_t = g_ref[:, 0, te].astype(jnp.float32)        # (bt, dgt)
-            B_t = B_ref[:, 0, te].astype(jnp.float32)        # (bt, N)
-            C_t = C_ref[:, 0, te].astype(jnp.float32)
-            e = C_t[:, :, None] * g_t[:, None, :] + carry    # (bt, N, dgt)
-            tp = te_of(jnp.maximum(t - 1, 0))  # masked below at t == 0
-            xprev = jnp.where(
-                t == 0,
-                cs_ref[:, 0, 0, 0],
-                xs_ref[:, tp].astype(jnp.float32),
-            )
-            eaxp = e * a_t * xprev
-            dd_a = jnp.sum(eaxp * A[None], axis=1)           # (bt, dgt)
-            ddu = jnp.sum(e * B_t[:, :, None], axis=1)       # (bt, dgt)
-            u_t = u_ref[:, 0, te].astype(jnp.float32)
-            dd_total = dd_a + ddu * u_t
-            if softplus:
-                # softplus'(raw) = sigmoid(raw) = 1 - exp(-softplus(raw))
-                dd_total = dd_total * (1.0 - jnp.exp(-dlt_t))
-            dd_ref[:, 0, te] = dd_total.astype(dd_ref.dtype)
-            du_ref[:, 0, te] = (ddu * dlt_t + Dsk[None] * g_t).astype(
-                du_ref.dtype)
-            dus_t = dus_ref[:, te].astype(jnp.float32)
-            dB_ref[:, 0, te] = jnp.sum(
-                e * dus_t[:, None, :], axis=2).astype(dB_ref.dtype)
-            dC_ref[:, 0, te] = jnp.sum(
-                xs_ref[:, te].astype(jnp.float32) * g_t[:, None, :], axis=2
-            ).astype(dC_ref.dtype)
-            acc = acc + eaxp * dlt_t[:, None, :]
-            carry = a_t * e
-        dacc_ref[:] += acc
-        return carry
-
-    carry_ref[:] = jax.lax.fori_loop(0, Lc // _UNROLL, rbody, carry_ref[:])
-
-    # --- cheap vectorized accumulations (inputs already in VMEM blocks) ---
-    g = g_ref[:, 0].astype(jnp.float32)
-    dA_ref[0, 0] += jnp.sum(dacc_ref[:], axis=0)             # (N, dgt)
-    dD_ref[0, 0, 0] += jnp.sum(g * u, axis=(0, 1))
-    ddb_ref[0, 0, 0] += jnp.sum(dd_ref[:, 0].astype(jnp.float32), axis=(0, 1))
-
-
-# ---------------------------------------------------------------------------
-# host-side wrappers
-# ---------------------------------------------------------------------------
+    dd_ref[:, 0] = _cat(dds)
+    du_ref[:, 0] = _cat(dus)
+    dB_ref[:, 0] = _cat(dBs)
+    dC_ref[:, 0] = _cat(dCs)
+    dA_ref[0, 0] += dA_acc
+    dD_ref[0, 0, 0] += dD_acc
+    ddb_ref[0, 0, 0] += ddb_acc
 
 
 def _pad_L(x, Lp):
@@ -574,14 +454,20 @@ def _scan_core(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
     return y
 
 
-def _tiling(bsz, L, n, dg, chunk, dtype, variant=None):
-    variant = variant or _variant()
+def _tiling(bsz, L, n, dg, chunk, dtype):
     itemsize = jnp.dtype(dtype).itemsize
-    dgt, btile = _pick_tiles(bsz, n, dg, itemsize, variant)
+    forced = _os.environ.get("MAMBA_SCAN_FORCE_TILES")
+    if forced:
+        # "dgt,btile,Lc" — tuning hook (benchmarks/tile_sweep.py)
+        dgt, btile, Lc = (int(v) for v in forced.split(","))
+        Lc = max(16, min(Lc, -(-L // 16) * 16))
+        Lp = -(-L // Lc) * Lc
+        return dgt, dg // dgt, btile, Lc, Lp, Lp // Lc
+    dgt, btile = _pick_tiles(bsz, n, dg, itemsize)
     if dgt is None:
         dgt = _dg_tile(dg)
         btile = 1
-    Lc = _cap_chunk(chunk, L, n, dgt, btile, itemsize, variant)
+    Lc = _cap_chunk(chunk, L, n, dgt, btile, itemsize)
     Lp = -(-L // Lc) * Lc
     return dgt, dg // dgt, btile, Lc, Lp, Lp // Lc
 
@@ -609,22 +495,13 @@ def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret,
 
     grid = (bsz // bt, G, DT, nc)
     io = u.dtype
-    if _variant() == "fused":
-        kernel = functools.partial(_fwd_kernel_fused, softplus=softplus,
-                                   Lc=Lc, bidir=bidir)
-        scratch = [
-            pltpu.VMEM((bt, n, dgt), jnp.float32),
-            pltpu.VMEM((bt, Lc, dgt), io),
-            pltpu.VMEM((bt, Lc, dgt), io),
-        ]
-    else:
-        kernel = functools.partial(_fwd_kernel, softplus=softplus, Lc=Lc,
-                                   bidir=bidir)
-        scratch = [
-            pltpu.VMEM((bt, n, dgt), jnp.float32),
-            pltpu.VMEM((bt, Lc, n, dgt), io),
-            pltpu.VMEM((bt, Lc, n, dgt), io),
-        ]
+    kernel = functools.partial(_fwd_kernel, softplus=softplus, Lc=Lc,
+                               bidir=bidir)
+    scratch = [
+        pltpu.VMEM((bt, n, dgt), jnp.float32),   # carried state
+        pltpu.VMEM((bt, Lc, n, dgt), io),        # a (gates)
+        pltpu.VMEM((bt, Lc, n, dgt), io),        # xs (b-values -> states)
+    ]
 
     def cke(g, ck):
         # data chunk for scan-position ck: reversed directions walk backwards
@@ -660,6 +537,7 @@ def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret,
             jax.ShapeDtypeStruct((bsz, G, DT, nc, n, dgt), jnp.float32),
         ],
         scratch_shapes=scratch,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(A_t, db, Dsk, u, delta, Bm, Cm)
     return y[:, :, :L], cs
@@ -698,26 +576,14 @@ def _scan_bwd_impl(res, gy, softplus, chunk, interpret, bidir=False):
     def u_map(b, g, dt, ck):
         return (b, g % 2 if bidir else g, cke(g, ck), dt)
 
-    if _variant() == "fused":
-        kernel = functools.partial(_bwd_kernel_fused, softplus=softplus,
-                                   Lc=Lc, bidir=bidir)
-        scratch = [
-            pltpu.VMEM((bt, n, dgt), jnp.float32),  # carry
-            pltpu.VMEM((bt, n, dgt), jnp.float32),  # dacc
-            pltpu.VMEM((bt, Lc, dgt), io),          # dlt
-            pltpu.VMEM((bt, Lc, dgt), io),          # du (delta*u)
-            pltpu.VMEM((bt, Lc, n, dgt), io),       # xs — the one big slab
-        ]
-    else:
-        kernel = functools.partial(_bwd_kernel, softplus=softplus, Lc=Lc,
-                                   bidir=bidir)
-        scratch = [
-            pltpu.VMEM((bt, n, dgt), jnp.float32),
-            pltpu.VMEM((bt, Lc, n, dgt), io),
-            pltpu.VMEM((bt, Lc, n, dgt), io),
-            pltpu.VMEM((bt, Lc, n, dgt), io),
-            pltpu.VMEM((bt, Lc, n, dgt), io),
-        ]
+    kernel = functools.partial(_bwd_kernel, softplus=softplus, Lc=Lc,
+                               bidir=bidir)
+    scratch = [
+        pltpu.VMEM((bt, n, dgt), jnp.float32),  # carry
+        pltpu.VMEM((bt, Lc, n, dgt), io),       # a
+        pltpu.VMEM((bt, Lc, n, dgt), io),       # xs
+        pltpu.VMEM((bt, Lc, n, dgt), io),       # e
+    ]
     du, dd, dB, dC, dA, dD, ddb = pl.pallas_call(
         kernel,
         grid=grid,
@@ -765,6 +631,7 @@ def _scan_bwd_impl(res, gy, softplus, chunk, interpret, bidir=False):
             jax.ShapeDtypeStruct((bsz // bt, G * DT, 1, dgt), jnp.float32),
         ],
         scratch_shapes=scratch,
+        compiler_params=_compiler_params(),
         interpret=interpret,
     )(A_t, db, Dsk, u_p, delta_p, Bm_p, Cm_p, cs, gy_p)
 
