@@ -88,6 +88,11 @@ def _compiler_params():
 _N_SLABS = 3
 _TEMP_BYTES = 0
 _UNROLL = int(_os.environ.get("MAMBA_SCAN_UNROLL", "4"))
+# Profiling hook: ablate parts of the BACKWARD kernel to attribute its time
+# (results are WRONG with any value set). Comma-joined subset of
+# {fwdloop, revloop, epi}. benchmarks/bwd_ablate.py sweeps these.
+_ABLATE = frozenset(
+    v for v in _os.environ.get("MAMBA_SCAN_ABLATE", "").split(",") if v)
 
 
 def on_tpu() -> bool:
@@ -355,7 +360,8 @@ def _bwd_kernel(
             xs_ref[:, te] = x.astype(xs_ref.dtype)
         return x
 
-    jax.lax.fori_loop(0, Lc // _UNROLL, fbody, cs_ref[:, 0, 0, 0])
+    if "fwdloop" not in _ABLATE:
+        jax.lax.fori_loop(0, Lc // _UNROLL, fbody, cs_ref[:, 0, 0, 0])
 
     # --- reverse scan (in scan order): e_t = C_t g_t + a_{t+1} e_{t+1} ---
     _build_slab(e_ref, lambda lo, hi: (
@@ -370,7 +376,9 @@ def _bwd_kernel(
             carry = a_ref[:, te].astype(jnp.float32) * e
         return carry
 
-    carry_ref[:] = jax.lax.fori_loop(0, Lc // _UNROLL, rbody, carry_ref[:])
+    if "revloop" not in _ABLATE:
+        carry_ref[:] = jax.lax.fori_loop(0, Lc // _UNROLL, rbody,
+                                         carry_ref[:])
 
     # --- vectorized gradient epilogue (fp32 accumulation), chunked into
     # static Lc sub-ranges so the fp32 stack temporaries (eaxp etc.) stay a
@@ -388,6 +396,12 @@ def _bwd_kernel(
     # state at the scan-order start) — round 3 dropped the dedicated xsp
     # slab to fit 3 slabs instead of 4 in VMEM (bigger bt*Lc tiles win).
     entry = cs_ref[:, 0, 0, 0].astype(xs_ref.dtype)[:, None]  # (bt,1,N,dgt)
+    if "epi" in _ABLATE:
+        for ref in (dd_ref, du_ref):
+            ref[:, 0] = jnp.zeros_like(ref[:, 0])
+        for ref in (dB_ref, dC_ref):
+            ref[:, 0] = jnp.zeros_like(ref[:, 0])
+        return
     for q in range(nq):
         lo, hi = q * qs, (q + 1) * qs
         e = e_ref[:, lo:hi].astype(jnp.float32)
