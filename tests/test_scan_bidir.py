@@ -15,13 +15,6 @@ from mamba_unet_tpu.ops import selective_scan_ref
 from mamba_unet_tpu.ops.selective_scan_pallas import selective_scan_pallas_bidir
 
 
-@pytest.fixture(autouse=True, params=["slab", "fused"])
-def scan_variant(request, monkeypatch):
-    """Exercise both kernel variants (MAMBA_SCAN_VARIANT, trace-time)."""
-    monkeypatch.setenv("MAMBA_SCAN_VARIANT", request.param)
-    return request.param
-
-
 def _ref_bidir(u2, delta4, A, B4, C4, D, db):
     """Reference: build the 4 flipped sequences explicitly and scan each."""
     bsz, _, L, dg = delta4.shape

@@ -14,15 +14,6 @@ from mamba_unet_tpu.ops.selective_scan_pallas import (
 )
 
 
-@pytest.fixture(autouse=True, params=["slab", "fused"])
-def scan_variant(request, monkeypatch):
-    """Run every differential test against BOTH kernel variants (the
-    traffic-minimal 'fused' pair is selected by MAMBA_SCAN_VARIANT, re-read
-    at trace time)."""
-    monkeypatch.setenv("MAMBA_SCAN_VARIANT", request.param)
-    return request.param
-
-
 def make_inputs(rng, bsz=2, d=8, L=96, n=4, G=2, bias=True, with_d=True):
     u = jnp.asarray(rng.normal(size=(bsz, d, L)), jnp.float32)
     delta = jnp.asarray(0.5 * rng.normal(size=(bsz, d, L)), jnp.float32)
