@@ -4,10 +4,12 @@ Round-3 profiling (docs/PROFILE.md "Decimated kernel experiments") showed
 the production kernels are bound by per-grid-cell fixed cost (~1.3 us x
 2352 cells at stage0) plus slab traffic — NOT by the serial recurrence.
 This prototype restructures the forward so the L-chunk axis moves from the
-grid into the kernel: grid (B-tiles, G, dg-tiles) = 12 cells at stage0,
-each looping over all L-chunks with double-buffered manual DMA
-(pltpu.make_async_copy) between HBM and VMEM. The scan state then carries
-in a register-resident value instead of a cross-cell scratch.
+grid into the kernel: grid (B-tiles, G) = 12 cells at stage0, each running
+an in-kernel `pltpu.emit_pipeline` over the L-chunks (double-buffered DMA
+handled by the pipeline emitter — raw `make_async_copy` is NOT usable here
+because Mosaic requires lane-dim copy extents to be 128-aligned and
+dg=192 / n=16 are not). The scan state carries in a VMEM scratch that
+persists across the inner pipeline steps.
 
 Usage:
   JAX_PLATFORMS=cpu python benchmarks/persistent_proto.py        # parity
@@ -34,55 +36,26 @@ def _fwd_kernel(
     A_ref, db_ref, Dsk_ref,       # VMEM (small, whole)
     u_hbm, d_hbm, B_hbm, C_hbm,   # ANY (HBM residents)
     y_hbm,                        # ANY output
-    ubuf, dbuf, Bbuf, Cbuf, ybuf,  # double-buffered VMEM slabs
-    a_s, xs_s,                    # per-chunk gate/state slabs
-    in_sems, out_sems,
+    xcarry, a_s, xs_s,            # VMEM scratch
     *, nck, Lc, unroll,
 ):
-    b, g, dt = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    bt = ubuf.shape[1]
+    b, g = pl.program_id(0), pl.program_id(1)
+    bt = a_s.shape[0]
     n = A_ref.shape[1]
-    dgt = ubuf.shape[-1]
-    A = A_ref[0]                                      # (n, dgt)
+    dg = a_s.shape[-1]
+    A = A_ref[0]                                      # (n, dg)
+    xcarry[:] = jnp.zeros_like(xcarry)
 
-    def in_dma(ck, slot):
-        sl = pl.ds(ck * Lc, Lc)
-        return [
-            pltpu.make_async_copy(
-                src.at[pl.ds(b * bt, bt), g, sl], dst.at[slot],
-                in_sems.at[slot, i])
-            for i, (src, dst) in enumerate(
-                ((u_hbm, ubuf), (d_hbm, dbuf), (B_hbm, Bbuf), (C_hbm, Cbuf)))
-        ]
-
-    def out_dma(ck, slot):
-        return pltpu.make_async_copy(
-            ybuf.at[slot], y_hbm.at[pl.ds(b * bt, bt), g, pl.ds(ck * Lc, Lc)],
-            out_sems.at[slot])
-
-    for d in in_dma(0, 0):
-        d.start()
-
-    def chunk_body(ck, carry):
-        slot = jax.lax.rem(ck, 2)
-        nxt = 1 - slot
-
-        @pl.when(ck + 1 < nck)
-        def _():
-            for d in in_dma(ck + 1, nxt):
-                d.start()
-
-        for d in in_dma(ck, slot):
-            d.wait()
-
-        u = ubuf[slot].astype(jnp.float32)            # (bt, Lc, dgt)
-        raw = dbuf[slot].astype(jnp.float32) + db_ref[0][None]
+    def inner(u_ref, d_ref, B_ref, C_ref, y_ref):
+        u = u_ref[:, 0].astype(jnp.float32)           # (bt, Lc, dg)
+        raw = d_ref[:, 0].astype(jnp.float32) + db_ref[0][None]
         dlt = jax.nn.softplus(raw)
         du = dlt * u
         a_s[:] = jnp.exp(dlt[:, :, None, :] * A[None, None]).astype(a_s.dtype)
-        Bc = Bbuf[slot].astype(jnp.float32)           # (bt, Lc, n)
+        Bc = B_ref[:, 0].astype(jnp.float32)          # (bt, Lc, n)
         xs_s[:] = (Bc[..., None] * du[:, :, None, :]).astype(xs_s.dtype)
 
+        x = xcarry[:]
         def step(i, x):
             for j in range(unroll):
                 t = i * unroll + j
@@ -90,24 +63,20 @@ def _fwd_kernel(
                     xs_s[:, t].astype(jnp.float32)
                 xs_s[:, t] = x.astype(xs_s.dtype)
             return x
+        xcarry[:] = jax.lax.fori_loop(0, Lc // unroll, step, x)
 
-        carry = jax.lax.fori_loop(0, Lc // unroll, step, carry)
-
-        # wait for the PREVIOUS output DMA on this slot before overwriting
-        @pl.when(ck >= 2)
-        def _():
-            out_dma(ck - 2, slot).wait()
-
-        Cc = Cbuf[slot].astype(jnp.float32)
+        Cc = C_ref[:, 0].astype(jnp.float32)
         y = jnp.sum(Cc[..., None] * xs_s[:].astype(jnp.float32), axis=2)
-        ybuf[slot] = (y + Dsk_ref[0][None] * u).astype(ybuf.dtype)
-        out_dma(ck, slot).start()
-        return carry
+        y_ref[:, 0] = (y + Dsk_ref[0][None] * u).astype(y_ref.dtype)
 
-    carry0 = jnp.zeros((bt, n, dgt), jnp.float32)
-    jax.lax.fori_loop(0, nck, chunk_body, carry0)
-    out_dma(nck - 2, jax.lax.rem(nck, 2)).wait()
-    out_dma(nck - 1, jax.lax.rem(nck - 1, 2)).wait()
+    spec_d = pl.BlockSpec((bt, 1, Lc, dg), lambda ck: (b, g, ck, 0))
+    spec_n = pl.BlockSpec((bt, 1, Lc, n), lambda ck: (b, g, ck, 0))
+    pltpu.emit_pipeline(
+        inner,
+        grid=(nck,),
+        in_specs=[spec_d, spec_d, spec_n, spec_n],
+        out_specs=[spec_d],
+    )(u_hbm, d_hbm, B_hbm, C_hbm, y_hbm)
 
 
 def persistent_fwd(u, delta, A_t, Bm, Cm, Dsk, db, *, btile, Lc, unroll=4,
@@ -117,15 +86,15 @@ def persistent_fwd(u, delta, A_t, Bm, Cm, Dsk, db, *, btile, Lc, unroll=4,
     assert L % Lc == 0
     nck = L // Lc
     io = u.dtype
-    grid = (bsz // btile, G, 1)
+    grid = (bsz // btile, G)
     kernel = functools.partial(_fwd_kernel, nck=nck, Lc=Lc, unroll=unroll)
     y = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, n, dg), lambda b, g, dt: (g, 0, dt)),
-            pl.BlockSpec((1, 1, dg), lambda b, g, dt: (g, 0, dt)),
-            pl.BlockSpec((1, 1, dg), lambda b, g, dt: (g, 0, dt)),
+            pl.BlockSpec((1, n, dg), lambda b, g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, dg), lambda b, g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, dg), lambda b, g: (g, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -134,15 +103,9 @@ def persistent_fwd(u, delta, A_t, Bm, Cm, Dsk, db, *, btile, Lc, unroll=4,
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct((bsz, G, L, dg), io),
         scratch_shapes=[
-            pltpu.VMEM((2, btile, Lc, dg), io),   # u
-            pltpu.VMEM((2, btile, Lc, dg), io),   # delta
-            pltpu.VMEM((2, btile, Lc, n), io),    # B
-            pltpu.VMEM((2, btile, Lc, n), io),    # C
-            pltpu.VMEM((2, btile, Lc, dg), io),   # y
-            pltpu.VMEM((btile, Lc, n, dg), io),   # a
-            pltpu.VMEM((btile, Lc, n, dg), io),   # xs
-            pltpu.SemaphoreType.DMA((2, 4)),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((btile, n, dg), jnp.float32),  # carry
+            pltpu.VMEM((btile, Lc, n, dg), io),       # a
+            pltpu.VMEM((btile, Lc, n, dg), io),       # xs
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -198,9 +161,9 @@ def main():
         ).reshape(BATCH, K, dg, L).transpose(0, 1, 3, 2)
 
         print(f"=== B{BATCH} K{K} L{L} dg{dg} ===")
-        for btile, Lc in ((8, 16), (8, 32), (8, 64)) if on_tpu \
-                else ((2, 16),):
-            if L % Lc:
+        for btile, Lc in ((8, 16), (8, 32), (8, 64), (24, 16), (24, 32)) \
+                if on_tpu else ((2, 16),):
+            if L % Lc or BATCH % btile:
                 continue
             try:
                 f = jax.jit(functools.partial(
@@ -213,7 +176,7 @@ def main():
                 print(line, flush=True)
             except Exception as e:  # noqa: BLE001
                 print(f"  persistent bt={btile} Lc={Lc}  FAILED "
-                      f"{type(e).__name__}: {str(e)[:120]}")
+                      f"{type(e).__name__}: {str(e)[:300]}")
 
         if on_tpu:
             from mamba_unet_tpu.ops import selective_scan_pallas as ssp

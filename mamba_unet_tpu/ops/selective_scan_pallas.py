@@ -78,7 +78,11 @@ _VMEM_LIMIT_BYTES = int(_os.environ.get("MAMBA_SCAN_VMEM_LIMIT",
 
 
 def _compiler_params():
-    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES)
+    sem = _os.environ.get("MAMBA_SCAN_SEMANTICS")
+    kw = {}
+    if sem:
+        kw["dimension_semantics"] = tuple(sem.split(","))
+    return pltpu.CompilerParams(vmem_limit_bytes=_VMEM_LIMIT_BYTES, **kw)
 # Slab accounting for tiling: the backward holds 3 (btile, Lc, N, dgt)
 # scratch buffers (a, xs, e) in the I/O dtype (x_{t-1} is read as shifted
 # slices of xs, no dedicated slab); the chunked epilogue's fp32 temporaries
@@ -250,12 +254,15 @@ def _fwd_kernel(
     # traffic — the recurrence is VMEM-bandwidth bound), built in strips to
     # cap the pre-cast fp32 stack temporaries
     Bc = B_ref[:, 0].astype(jnp.float32)             # (bt, Lc, N)
-    _build_slab(a_ref, lambda lo, hi: jnp.exp(
-        _sq(dlt, lo, hi)[:, :, None, :] * A[None, None]), Lc)
-    _build_slab(xs_ref, lambda lo, hi: (
-        _sq(Bc, lo, hi)[..., None] * _sq(du, lo, hi)[:, :, None, :]), Lc)
+    if "build" not in _ABLATE:
+        _build_slab(a_ref, lambda lo, hi: jnp.exp(
+            _sq(dlt, lo, hi)[:, :, None, :] * A[None, None]), Lc)
+        _build_slab(xs_ref, lambda lo, hi: (
+            _sq(Bc, lo, hi)[..., None] * _sq(du, lo, hi)[:, :, None, :]), Lc)
 
-    cs_ref[:, 0, 0, 0] = state_ref[:]                # entry state of the chunk
+    cs_ref[:, 0, 0, 0] = state_ref[:].astype(cs_ref.dtype)  # chunk entry state
+    # (I/O dtype: the bwd's recomputed states live in a bf16 slab anyway, and
+    # fp32 entries were the single largest HBM array in the pass at Lc=16)
 
     # bidir: odd direction pairs (g >= 2) scan the SAME data stream in
     # reversed time order — pure index arithmetic, no flipped copies.
@@ -271,8 +278,13 @@ def _fwd_kernel(
             xs_ref[:, te] = x.astype(xs_ref.dtype)
         return x
 
-    state_ref[:] = jax.lax.fori_loop(0, Lc // _UNROLL, body, state_ref[:])
+    if "fwdloop" not in _ABLATE:
+        state_ref[:] = jax.lax.fori_loop(0, Lc // _UNROLL, body,
+                                         state_ref[:])
 
+    if "yepi" in _ABLATE:
+        y_ref[:, 0] = u_ref[:, 0]
+        return
     # y epilogue chunked like the backward's so fp32 stack temps stay small;
     # quarters are buffered and stored ONCE (sublane-sliced output writes
     # lower as unsupported gathers). Value slices MUST be lax.slice_in_dim:
@@ -361,7 +373,8 @@ def _bwd_kernel(
         return x
 
     if "fwdloop" not in _ABLATE:
-        jax.lax.fori_loop(0, Lc // _UNROLL, fbody, cs_ref[:, 0, 0, 0])
+        jax.lax.fori_loop(0, Lc // _UNROLL, fbody,
+                          cs_ref[:, 0, 0, 0].astype(jnp.float32))
 
     # --- reverse scan (in scan order): e_t = C_t g_t + a_{t+1} e_{t+1} ---
     _build_slab(e_ref, lambda lo, hi: (
@@ -548,7 +561,7 @@ def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret,
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, G, Lp, dg), u.dtype),
-            jax.ShapeDtypeStruct((bsz, G, DT, nc, n, dgt), jnp.float32),
+            jax.ShapeDtypeStruct((bsz, G, DT, nc, n, dgt), io),
         ],
         scratch_shapes=scratch,
         compiler_params=_compiler_params(),
