@@ -477,7 +477,8 @@ def _pad_L(x, Lp):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def _scan_core(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
-    y, _ = _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret)
+    y, _ = _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk,
+                          interpret, save_cs=False)
     return y
 
 
@@ -500,7 +501,7 @@ def _tiling(bsz, L, n, dg, chunk, dtype):
 
 
 def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret,
-                   bidir=False):
+                   bidir=False, save_cs=True):
     """u, delta: (B,G,L,dg); A_t: (G,N,dg); Bm,Cm: (B,G,L,N); Dsk,db: (G,1,dg).
 
     Returns y (B,G,L,dg) and cs (B,G,DT,nc,N,dg_tile) chunk entry states.
@@ -555,13 +556,19 @@ def _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret,
         out_specs=[
             pl.BlockSpec((bt, 1, Lc, dgt),
                          lambda b, g, dt, ck: (b, g, cke(g, ck), dt)),
+            # save_cs=False (the non-differentiated forward): all chunks map
+            # to ONE revisited block — the checkpoint stream (the largest
+            # fwd output after y) never leaves VMEM on the inference path
             pl.BlockSpec(
-                (bt, 1, 1, 1, n, dgt), lambda b, g, dt, ck: (b, g, dt, ck, 0, 0)
+                (bt, 1, 1, 1, n, dgt),
+                (lambda b, g, dt, ck: (b, g, dt, ck, 0, 0)) if save_cs
+                else (lambda b, g, dt, ck: (b, g, dt, 0, 0, 0)),
             ),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((bsz, G, Lp, dg), u.dtype),
-            jax.ShapeDtypeStruct((bsz, G, DT, nc, n, dgt), io),
+            jax.ShapeDtypeStruct(
+                (bsz, G, DT, nc if save_cs else 1, n, dgt), io),
         ],
         scratch_shapes=scratch,
         compiler_params=_compiler_params(),
@@ -688,7 +695,7 @@ _scan_core.defvjp(_scan_core_fwd, _scan_core_bwd)
 def _scan_core_bidir(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk,
                      interpret):
     y, _ = _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk,
-                          interpret, bidir=True)
+                          interpret, bidir=True, save_cs=False)
     return y
 
 
