@@ -128,7 +128,15 @@ class SS2D(nn.Module):
         from mamba_unet_tpu.ops import selective_scan_pallas as ssp
         from mamba_unet_tpu.ops.cross_scan import cross_merge_tm, cross_scan_tm
 
-        use_bidir = self.scan_impl in ("auto", "bidir") and (
+        # batch-folded lanes (opt-in via scan_impl="folded"): wins on the
+        # bare kernel (stage0 full-VJP 21.45 vs 24.21 ms,
+        # benchmarks/folded_proto.py --grad) but the stream-transpose glue
+        # still eats the win at block level (benchmarks/folded_block.py), so
+        # "auto" keeps the bidir slab kernel until the folded path wins
+        # end-to-end.
+        foldable = (bsz * d_inner) % 128 == 0
+        use_folded = self.scan_impl == "folded" and foldable
+        use_bidir = not use_folded and self.scan_impl in ("auto", "bidir") and (
             self.scan_impl == "bidir" or ssp.on_tpu()
         )
         use_tm = self.scan_impl in ("pallas", "tm")
@@ -198,6 +206,44 @@ class SS2D(nn.Module):
                 batch_axis=batch_axis, chunk=self.scan_chunk,
             )
             y = cross_merge(out.reshape(bsz, K, d_inner, L), H, W)
+        elif use_folded:
+            # batch-folded lanes: operands go time-major batch-minor
+            # (L, B, dg) so the kernel lane extent B*dg is an exact multiple
+            # of 128 — stage0's dg=192 otherwise pads every slab tile to 256
+            # lanes (25% waste). Direction order and reversal semantics match
+            # the bidir path; per-direction projections are emitted directly
+            # in folded order by the einsums (no extra transposes beyond the
+            # row/col stream setup).
+            from mamba_unet_tpu.ops import selective_scan_folded as ssf
+
+            row = xx.transpose(1, 2, 0, 3).reshape(L, bsz, d_inner)
+            col = xx.transpose(2, 1, 0, 3).reshape(L, bsz, d_inner)
+            xs2 = jnp.stack([row, col], axis=0)          # (2, L, B, dg)
+            Wg = x_proj_weight.astype(xs2.dtype).reshape(
+                2, 2, dt_rank + 2 * n, d_inner
+            )
+            x_dbl = jnp.einsum("mlbd,jmcd->jmlcb", xs2, Wg).reshape(
+                4, L, dt_rank + 2 * n, bsz
+            )
+            dts_r, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + n], axis=2)
+            dts = jnp.einsum(
+                "klrb,kdr->klbd", dts_r, dt_projs_weight.astype(dts_r.dtype)
+            )
+            ys = ssf.selective_scan_folded_bidir(
+                xs2.reshape(2, L, bsz * d_inner),
+                dts.reshape(4, L, bsz * d_inner),
+                A, Bs, Cs,
+                D=Ds.astype(jnp.float32),
+                delta_bias=dt_projs_bias.reshape(-1).astype(jnp.float32),
+                delta_softplus=True,
+                chunk=self.scan_chunk,
+            ).astype(jnp.float32)                        # (4, L, B*dg)
+            ys = ys.reshape(4, L, bsz, d_inner)
+            y = (ys[0] + ys[2]).transpose(1, 0, 2).reshape(
+                bsz, H, W, d_inner
+            ) + (ys[1] + ys[3]).reshape(W, H, bsz, d_inner).transpose(
+                2, 1, 0, 3
+            )
         elif use_bidir:
             # bidirectional fast path: only the 2 DATA streams (row-major,
             # col-major) are materialized; the 2 reversed directions run
