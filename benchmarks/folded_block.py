@@ -49,19 +49,22 @@ def main():
     x = jnp.asarray(rng.normal(size=(bsz, hw, hw, d_model)) * 0.5,
                     jnp.bfloat16)
 
-    for impl in ("bidir", "folded"):
-        m = SS2D(d_model=d_model, d_state=16, scan_impl=impl,
+    for impl, layout in (("bidir", "bhwc"), ("folded", "bhwc"),
+                         ("auto", "hwbc")):
+        m = SS2D(d_model=d_model, d_state=16, scan_impl=impl, layout=layout,
                  dtype=jnp.bfloat16)
-        v = m.init(jax.random.key(0), x[:1])
+        xi = x.transpose(1, 2, 0, 3) if layout == "hwbc" else x
+        v = m.init(jax.random.key(0), xi[:, :, :1] if layout == "hwbc"
+                   else xi[:1])
         fwd = jax.jit(lambda v, x: m.apply(v, x))
 
         def loss(v, x):
             return jnp.sum(m.apply(v, x).astype(jnp.float32) ** 2)
 
         vjp = jax.jit(jax.grad(loss, argnums=(0, 1)))
-        t_f = timeit(fwd, v, x)
-        t_g = timeit(vjp, v, x)
-        print(f"stage{stage} SS2D[{impl}]: fwd {t_f:.2f} ms | "
+        t_f = timeit(fwd, v, xi)
+        t_g = timeit(vjp, v, xi)
+        print(f"stage{stage} SS2D[{impl}/{layout}]: fwd {t_f:.2f} ms | "
               f"fwd+bwd {t_g:.2f} ms")
 
 

@@ -43,12 +43,14 @@ class VSSM(nn.Module):
     drop_path_rate: float = 0.2
     attn_drop_rate: float = 0.0
     scan_impl: str = "auto"
+    layout: str = "bhwc"  # "hwbc": run all stages time-major batch-minor
     use_remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         n_layers = len(self.depths)
+        hwbc = self.layout == "hwbc"
         # Stochastic-depth decay: linear 0 -> drop_path_rate over encoder blocks;
         # decoder stages reuse the *encoder* schedule of the mirrored stage
         # (mamba_sys.py:713, :747).
@@ -63,6 +65,7 @@ class VSSM(nn.Module):
             d_state=self.d_state,
             attn_drop=self.attn_drop_rate,
             scan_impl=self.scan_impl,
+            layout=self.layout,
             use_remat=self.use_remat,
             dtype=self.dtype,
         )
@@ -73,6 +76,11 @@ class VSSM(nn.Module):
             dtype=self.dtype,
             name="patch_embed",
         )(x)
+        if hwbc:
+            # ONE layout change for the whole network (cheapest point: 1/16
+            # of input resolution); every stage below runs (H, W, B, C) so
+            # the batch-folded scan's stream setup is a free reshape.
+            x = x.transpose(1, 2, 0, 3)
 
         # --- encoder: skip captured pre-stage (mamba_sys.py:786-794) ---
         skips = []
@@ -86,14 +94,14 @@ class VSSM(nn.Module):
                 **common,
             )(x, deterministic)
             if i < n_layers - 1:
-                x = PatchMerging2D(dtype=self.dtype, name=f"downsample_{i}")(x)
+                x = PatchMerging2D(layout=self.layout, dtype=self.dtype, name=f"downsample_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
         # --- decoder (mamba_sys.py:804-815) ---
         for i in range(n_layers):
             mirror = n_layers - 1 - i
             if i == 0:
-                x = PatchExpand2D(dtype=self.dtype, name="first_expand")(x)
+                x = PatchExpand2D(layout=self.layout, dtype=self.dtype, name="first_expand")(x)
             else:
                 x = jnp.concatenate([x, skips[mirror]], axis=-1)
                 x = nn.Dense(
@@ -110,11 +118,13 @@ class VSSM(nn.Module):
                     **common,
                 )(x, deterministic)
                 if i < n_layers - 1:
-                    x = PatchExpand2D(dtype=self.dtype, name=f"upsample_{i}")(x)
+                    x = PatchExpand2D(layout=self.layout, dtype=self.dtype, name=f"upsample_{i}")(x)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_up")(x)
 
         # --- head (mamba_sys.py:816-824) ---
-        x = FinalPatchExpand2D(scale=self.patch_size, dtype=self.dtype, name="up")(x)
+        x = FinalPatchExpand2D(scale=self.patch_size, layout=self.layout, dtype=self.dtype, name="up")(x)
+        # A 1x1 stride-1 conv is a pointwise Dense on the last axis, so the
+        # same module (and checkpoint key) works in either layout.
         x = nn.Conv(
             self.num_classes,
             kernel_size=(1, 1),
@@ -122,6 +132,8 @@ class VSSM(nn.Module):
             dtype=self.dtype,
             name="output",
         )(x)
+        if hwbc:
+            x = x.transpose(2, 0, 1, 3)  # logits back to (B, H, W, ncls)
         return x.astype(jnp.float32)
 
 
@@ -135,6 +147,7 @@ class MambaUnet(nn.Module):
     dims: Sequence[int] = (96, 192, 384, 768)
     drop_path_rate: float = 0.2
     scan_impl: str = "auto"
+    layout: str = "bhwc"
     use_remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -148,6 +161,7 @@ class MambaUnet(nn.Module):
             dims=self.dims,
             drop_path_rate=self.drop_path_rate,
             scan_impl=self.scan_impl,
+            layout=self.layout,
             use_remat=self.use_remat,
             dtype=self.dtype,
             name="vssm",

@@ -30,6 +30,7 @@ class DropPath(nn.Module):
     """
 
     rate: float = 0.0
+    batch_axis: int = 0  # 2 for the hwbc (time-major) activation layout
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
@@ -37,6 +38,8 @@ class DropPath(nn.Module):
             return x
         keep = 1.0 - self.rate
         rng = self.make_rng("dropout")
-        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        shape = tuple(
+            x.shape[i] if i == self.batch_axis else 1 for i in range(x.ndim)
+        )
         mask = jax.random.bernoulli(rng, keep, shape)
         return jnp.where(mask, x / keep, jnp.zeros_like(x))

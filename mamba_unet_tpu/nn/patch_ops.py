@@ -47,16 +47,25 @@ class PatchMerging2D(nn.Module):
     along the channel axis (matters for checkpoint conversion).
     """
 
+    layout: str = "bhwc"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        bsz, H, W, c = x.shape
-        x = x[:, : H - H % 2, : W - W % 2, :]
-        x0 = x[:, 0::2, 0::2, :]
-        x1 = x[:, 1::2, 0::2, :]
-        x2 = x[:, 0::2, 1::2, :]
-        x3 = x[:, 1::2, 1::2, :]
+        if self.layout == "hwbc":
+            H, W, bsz, c = x.shape
+            x = x[: H - H % 2, : W - W % 2]
+            x0 = x[0::2, 0::2]
+            x1 = x[1::2, 0::2]
+            x2 = x[0::2, 1::2]
+            x3 = x[1::2, 1::2]
+        else:
+            bsz, H, W, c = x.shape
+            x = x[:, : H - H % 2, : W - W % 2, :]
+            x0 = x[:, 0::2, 0::2, :]
+            x1 = x[:, 1::2, 0::2, :]
+            x2 = x[:, 0::2, 1::2, :]
+            x3 = x[:, 1::2, 1::2, :]
         x = jnp.concatenate([x0, x1, x2, x3], axis=-1)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         x = nn.Dense(
@@ -75,11 +84,16 @@ class PatchExpand2D(nn.Module):
     Ref: mamba_sys.py:233-247 (rearrange 'b h w (p1 p2 c) -> b (h p1) (w p2) c').
     """
 
+    layout: str = "bhwc"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        bsz, H, W, c = x.shape
+        hwbc = self.layout == "hwbc"
+        if hwbc:
+            H, W, bsz, c = x.shape
+        else:
+            bsz, H, W, c = x.shape
         x = nn.Dense(
             2 * c,
             use_bias=False,
@@ -88,8 +102,14 @@ class PatchExpand2D(nn.Module):
             name="expand",
         )(x)
         c_out = c // 2
-        x = x.reshape(bsz, H, W, 2, 2, c_out)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, 2 * H, 2 * W, c_out)
+        if hwbc:
+            x = x.reshape(H, W, bsz, 2, 2, c_out)
+            x = x.transpose(0, 3, 1, 4, 2, 5).reshape(
+                2 * H, 2 * W, bsz, c_out
+            )
+        else:
+            x = x.reshape(bsz, H, W, 2, 2, c_out)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, 2 * H, 2 * W, c_out)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x
 
@@ -101,11 +121,16 @@ class FinalPatchExpand2D(nn.Module):
     """
 
     scale: int = 4
+    layout: str = "bhwc"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        bsz, H, W, c = x.shape
+        hwbc = self.layout == "hwbc"
+        if hwbc:
+            H, W, bsz, c = x.shape
+        else:
+            bsz, H, W, c = x.shape
         s = self.scale
         x = nn.Dense(
             s * s * c,
@@ -114,7 +139,11 @@ class FinalPatchExpand2D(nn.Module):
             dtype=self.dtype,
             name="expand",
         )(x)
-        x = x.reshape(bsz, H, W, s, s, c)
-        x = x.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, s * H, s * W, c)
+        if hwbc:
+            x = x.reshape(H, W, bsz, s, s, c)
+            x = x.transpose(0, 3, 1, 4, 2, 5).reshape(s * H, s * W, bsz, c)
+        else:
+            x = x.reshape(bsz, H, W, s, s, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(bsz, s * H, s * W, c)
         x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         return x

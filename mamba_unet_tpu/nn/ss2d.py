@@ -28,6 +28,48 @@ from mamba_unet_tpu.nn.layers import trunc_normal_init, uniform_scaled_init
 from mamba_unet_tpu.ops import cross_merge, cross_scan, selective_scan
 
 
+class DepthwiseConv2DHWBC(nn.Module):
+    """Depthwise conv over the LEADING spatial dims of an (H, W, B, C) array.
+
+    Parameter-compatible with ``nn.Conv(features, kernel, feature_group_count=
+    features)`` (kernel (kh, kw, 1, C) + bias (C,)), so checkpoints convert
+    1:1 between layouts. Used by the hwbc (time-major batch-minor) layout of
+    SS2D, where keeping batch on axis 2 makes the batch-folded scan's stream
+    setup a free reshape.
+    """
+
+    features: int
+    kernel_size: tuple = (3, 3)
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kh, kw = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (kh, kw, 1, self.features),
+        )
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, kernel.shape, ("HWNC", "HWIO", "HWNC")
+        )
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(1, 1),
+            padding="SAME",
+            dimension_numbers=dn,
+            feature_group_count=self.features,
+        )
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,)
+            )
+            y = y + bias.astype(self.dtype)
+        return y
+
+
 def _dt_bias_init(dt_min: float, dt_max: float, dt_init_floor: float):
     """Softplus-inverse of a log-uniform sample in [dt_min, dt_max].
 
@@ -72,15 +114,18 @@ class SS2D(nn.Module):
     bias: bool = False
     scan_impl: str = "auto"
     scan_chunk: int = 256
+    layout: str = "bhwc"  # "bhwc" (reference order) | "hwbc" (time-major)
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        """x: (B, H, W, d_model) -> same shape."""
+        """x: (B, H, W, d_model) — or (H, W, B, d_model) with layout="hwbc"
+        — -> same shape/layout."""
         d_inner = self.expand * self.d_model
         dt_rank = self.dt_rank or math.ceil(self.d_model / 16)
         n = self.d_state
         K = 4
+        hwbc = self.layout == "hwbc"
 
         xz = nn.Dense(
             2 * d_inner,
@@ -91,19 +136,31 @@ class SS2D(nn.Module):
         )(x)
         xx, z = jnp.split(xz, 2, axis=-1)
 
-        xx = nn.Conv(
-            d_inner,
-            kernel_size=(self.d_conv, self.d_conv),
-            feature_group_count=d_inner,
-            use_bias=self.conv_bias,
-            padding="SAME",
-            dtype=self.dtype,
-            name="conv2d",
-        )(xx)
+        if hwbc:
+            xx = DepthwiseConv2DHWBC(
+                features=d_inner,
+                kernel_size=(self.d_conv, self.d_conv),
+                use_bias=self.conv_bias,
+                dtype=self.dtype,
+                name="conv2d",
+            )(xx)
+        else:
+            xx = nn.Conv(
+                d_inner,
+                kernel_size=(self.d_conv, self.d_conv),
+                feature_group_count=d_inner,
+                use_bias=self.conv_bias,
+                padding="SAME",
+                dtype=self.dtype,
+                name="conv2d",
+            )(xx)
         xx = nn.silu(xx)
 
         # --- the 4-direction scan core (forward_corev0, mamba_sys.py:396-436) ---
-        bsz, H, W, _ = xx.shape
+        if hwbc:
+            H, W, bsz, _ = xx.shape
+        else:
+            bsz, H, W, _ = xx.shape
         L = H * W
         # Per-direction input projections share one stacked weight.
         x_proj_weight = self.param(
@@ -135,11 +192,24 @@ class SS2D(nn.Module):
         # "auto" keeps the bidir slab kernel until the folded path wins
         # end-to-end.
         foldable = (bsz * d_inner) % 128 == 0
-        use_folded = self.scan_impl == "folded" and foldable
-        use_bidir = not use_folded and self.scan_impl in ("auto", "bidir") and (
-            self.scan_impl == "bidir" or ssp.on_tpu()
+        # hwbc layout exists FOR the folded kernel (stream setup is a free
+        # reshape there). "auto" in hwbc picks folded where it measured
+        # ahead: stages whose dg is NOT 128-aligned (the folded layout's
+        # lane-padding win, e.g. stage0's dg=192 -> 256 lanes, 25% waste);
+        # 128-aligned stages keep the bidir kernel via the transpose
+        # fallback (folded_ablate/folded_block: the folded backward loses
+        # there). "folded"/"hwbc_folded" forces folded at every stage.
+        use_folded = foldable and (
+            self.scan_impl in ("folded", "hwbc_folded")
+            or (hwbc and self.scan_impl == "auto" and d_inner % 128 != 0)
         )
+        use_bidir = not use_folded and (
+            self.scan_impl in ("auto", "bidir", "hwbc_folded")
+        ) and (self.scan_impl == "bidir" or ssp.on_tpu())
         use_tm = self.scan_impl in ("pallas", "tm")
+        if hwbc and not use_folded:
+            # correctness fallback: run the bhwc core on transposed data
+            xx = xx.transpose(2, 0, 1, 3)
         if self.scan_impl == "seq_sharded":
             # sequence parallelism: L sharded over the mesh axis provided by
             # parallel.seq_scan.sequence_sharding(...)
@@ -216,22 +286,42 @@ class SS2D(nn.Module):
             # row/col stream setup).
             from mamba_unet_tpu.ops import selective_scan_folded as ssf
 
-            row = xx.transpose(1, 2, 0, 3).reshape(L, bsz, d_inner)
-            col = xx.transpose(2, 1, 0, 3).reshape(L, bsz, d_inner)
+            if hwbc:
+                # (H, W, B, d): the row stream is a FREE reshape; only the
+                # col stream pays the H<->W transpose (same as bidir's).
+                row = xx.reshape(L, bsz, d_inner)
+                col = xx.transpose(1, 0, 2, 3).reshape(L, bsz, d_inner)
+            else:
+                row = xx.transpose(1, 2, 0, 3).reshape(L, bsz, d_inner)
+                col = xx.transpose(2, 1, 0, 3).reshape(L, bsz, d_inner)
             xs2 = jnp.stack([row, col], axis=0)          # (2, L, B, dg)
-            Wg = x_proj_weight.astype(xs2.dtype).reshape(
+            # Separate DENSE projections instead of one x_dbl+split: the
+            # combined (c, B)-trailing x_dbl layout pads its lane dim 24->128
+            # (5x write waste at bs24). The two dt projections collapse into
+            # one (d, d) matrix (more FLOPs, one dense bf16 matmul).
+            Wg = x_proj_weight.astype(jnp.float32).reshape(
                 2, 2, dt_rank + 2 * n, d_inner
             )
-            x_dbl = jnp.einsum("mlbd,jmcd->jmlcb", xs2, Wg).reshape(
-                4, L, dt_rank + 2 * n, bsz
+            Wdt4 = dt_projs_weight.astype(jnp.float32).reshape(
+                2, 2, d_inner, dt_rank
             )
-            dts_r, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + n], axis=2)
-            dts = jnp.einsum(
-                "klrb,kdr->klbd", dts_r, dt_projs_weight.astype(dts_r.dtype)
+            M_dt = jnp.einsum(
+                "jmdr,jmre->jmde", Wdt4, Wg[:, :, :dt_rank]
+            ).astype(xs2.dtype)
+            W_B = Wg[:, :, dt_rank : dt_rank + n].astype(xs2.dtype)
+            W_C = Wg[:, :, dt_rank + n :].astype(xs2.dtype)
+            dts = jnp.einsum("mlbe,jmde->jmlbd", xs2, M_dt).reshape(
+                4, L, bsz * d_inner
+            )
+            Bs = jnp.einsum("mlbd,jmnd->jmlnb", xs2, W_B).reshape(
+                4, L, n, bsz
+            )
+            Cs = jnp.einsum("mlbd,jmnd->jmlnb", xs2, W_C).reshape(
+                4, L, n, bsz
             )
             ys = ssf.selective_scan_folded_bidir(
                 xs2.reshape(2, L, bsz * d_inner),
-                dts.reshape(4, L, bsz * d_inner),
+                dts,
                 A, Bs, Cs,
                 D=Ds.astype(jnp.float32),
                 delta_bias=dt_projs_bias.reshape(-1).astype(jnp.float32),
@@ -239,11 +329,16 @@ class SS2D(nn.Module):
                 chunk=self.scan_chunk,
             ).astype(jnp.float32)                        # (4, L, B*dg)
             ys = ys.reshape(4, L, bsz, d_inner)
-            y = (ys[0] + ys[2]).transpose(1, 0, 2).reshape(
-                bsz, H, W, d_inner
-            ) + (ys[1] + ys[3]).reshape(W, H, bsz, d_inner).transpose(
-                2, 1, 0, 3
-            )
+            if hwbc:
+                y = (ys[0] + ys[2]).reshape(H, W, bsz, d_inner) + (
+                    ys[1] + ys[3]
+                ).reshape(W, H, bsz, d_inner).transpose(1, 0, 2, 3)
+            else:
+                y = (ys[0] + ys[2]).transpose(1, 0, 2).reshape(
+                    bsz, H, W, d_inner
+                ) + (ys[1] + ys[3]).reshape(W, H, bsz, d_inner).transpose(
+                    2, 1, 0, 3
+                )
         elif use_bidir:
             # bidirectional fast path: only the 2 DATA streams (row-major,
             # col-major) are materialized; the 2 reversed directions run
@@ -254,6 +349,11 @@ class SS2D(nn.Module):
             row = xx.reshape(bsz, L, d_inner)
             col = xx.transpose(0, 2, 1, 3).reshape(bsz, L, d_inner)
             xs2 = jnp.stack([row, col], axis=1)          # (B, 2, L, dg)
+            # NOTE (measured, round 3): splitting x_dbl into separate dense
+            # projections with a combined (d, d) dt matrix REGRESSES the
+            # full step 202.8 -> 209.8 ms — the combined dt matmul is
+            # d_inner^2 FLOPs vs d_inner*dt_rank (16x more at stage3) and
+            # XLA fuses the x_dbl+split form well. Keep the x_dbl form.
             Wg = x_proj_weight.astype(xs2.dtype).reshape(
                 2, 2, dt_rank + 2 * n, d_inner
             )
@@ -316,6 +416,8 @@ class SS2D(nn.Module):
                 implementation=self.scan_impl,
             )  # (B, K*d_inner, L) — promoted to fp32 internally
             y = cross_merge(out.reshape(bsz, K, d_inner, L), H, W)
+        if hwbc and not use_folded:
+            y = y.transpose(1, 2, 0, 3)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="out_norm")(y.astype(self.dtype))
 
         y = y * nn.silu(z)

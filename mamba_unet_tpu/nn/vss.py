@@ -25,6 +25,7 @@ class VSSBlock(nn.Module):
     attn_drop: float = 0.0
     d_state: int = 16
     scan_impl: str = "auto"
+    layout: str = "bhwc"
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -35,10 +36,14 @@ class VSSBlock(nn.Module):
             d_state=self.d_state,
             dropout=self.attn_drop,
             scan_impl=self.scan_impl,
+            layout=self.layout,
             dtype=self.dtype,
             name="self_attention",
         )(y, deterministic=deterministic)
-        return x + DropPath(self.drop_path)(y, deterministic=deterministic)
+        batch_axis = 2 if self.layout == "hwbc" else 0
+        return x + DropPath(self.drop_path, batch_axis=batch_axis)(
+            y, deterministic=deterministic
+        )
 
 
 class VSSLayer(nn.Module):
@@ -50,6 +55,7 @@ class VSSLayer(nn.Module):
     attn_drop: float = 0.0
     d_state: int = 16
     scan_impl: str = "auto"
+    layout: str = "bhwc"
     use_remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
@@ -68,6 +74,7 @@ class VSSLayer(nn.Module):
                 attn_drop=self.attn_drop,
                 d_state=self.d_state,
                 scan_impl=self.scan_impl,
+                layout=self.layout,
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, deterministic)

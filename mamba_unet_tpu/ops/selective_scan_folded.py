@@ -58,6 +58,14 @@ _LT_TARGET = int(_os.environ.get("MAMBA_SCAN_FOLDED_LT_TARGET", "1536"))
 _LC_FOLDED = int(_os.environ.get("MAMBA_SCAN_FOLDED_LC", "32"))
 _VMEM_BUDGET = 56 * 1024 * 1024
 _UNROLL = int(_os.environ.get("MAMBA_SCAN_UNROLL", "4"))
+# dB/dC lane-reduction dot: fp32 (exact) | bf16 (1 fast pass, grads rounded
+# at ~2^-9 per term) | comp (hi+lo bf16 pair)
+_WDOT_MODE = _os.environ.get("MAMBA_SCAN_FOLDED_WDOT", "fp32")
+# timing-only ablations (results numerically WRONG): bcast, wdot, fwdloop,
+# revloop, epi
+_FABL = frozenset(
+    v for v in _os.environ.get("MAMBA_SCAN_FOLDED_ABLATE", "").split(",")
+    if v)
 
 
 def _lane_tiles(BD: int):
@@ -88,14 +96,18 @@ def _tiling_folded(BD: int, L: int, n: int, itemsize: int):
     return LT, BD // LT, Lc, Lp, Lp // Lc
 
 
-def _bcast_mats(Bsz: int, LT: int, dg: int, lt, want_w: bool):
+def _bcast_mats(Bsz: int, LT: int, dg: int, lt, want_w: bool,
+                e_dtype=jnp.float32):
     """E (Bsz, LT) lane-broadcast matrix for lane tile ``lt`` and its
-    transpose W (LT, Bsz). lane b = global_lane // dg."""
+    transpose W (LT, Bsz). lane b = global_lane // dg. E can live in the
+    I/O dtype: every output of an E-dot is a COPY of one input value (one
+    nonzero per column), so a bf16 E is exact and rides the MXU at 4x the
+    fp32 rate. W stays fp32 (its dots REDUCE ~dg real values per output)."""
     lane_b = (
         jax.lax.broadcasted_iota(jnp.int32, (Bsz, LT), 1) + lt * LT
     ) // dg
     row_b = jax.lax.broadcasted_iota(jnp.int32, (Bsz, LT), 0)
-    E = (lane_b == row_b).astype(jnp.float32)
+    E = (lane_b == row_b).astype(e_dtype)
     if not want_w:
         return E, None
     lane_bw = (
@@ -106,11 +118,35 @@ def _bcast_mats(Bsz: int, LT: int, dg: int, lt, want_w: bool):
     return E, W
 
 
+def _wdot(x, W):
+    """(rows, LT) fp32 @ W (LT, Bsz): the dB/dC per-batch lane reduction.
+    Mode fp32 = one exact dot; bf16 = one fast pass (terms rounded ~2^-9,
+    fp32 accumulation); comp = hi+lo bf16 pair (~17 mantissa bits/term, but
+    the split costs extra full-slab VPU work — measured a net LOSS at stage
+    shapes, kept for the ablation record)."""
+    dims = (((1,), (0,)), ((), ()))
+    if _WDOT_MODE == "fp32":
+        return jax.lax.dot_general(x, W, dims,
+                                   preferred_element_type=jnp.float32)
+    Wb = W.astype(jnp.bfloat16)
+    hi = x.astype(jnp.bfloat16)
+    out = jax.lax.dot_general(hi, Wb, dims,
+                              preferred_element_type=jnp.float32)
+    if _WDOT_MODE == "comp":
+        lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        out += jax.lax.dot_general(lo, Wb, dims,
+                                   preferred_element_type=jnp.float32)
+    return out
+
+
 def _bcast(ref, E, lo, hi, n):
     """(Lc, N, Bsz) ref strip [lo, hi) -> (qs, N, LT) lane broadcast on the
-    MXU. Exact: each output element has exactly one nonzero product."""
-    blk = ref[0, lo:hi].astype(jnp.float32)          # (qs, N, Bsz)
+    MXU. Exact: each output element has exactly one nonzero product, so the
+    dot runs in the I/O dtype (bf16 = 4x MXU rate) with fp32 accumulation."""
     qs = hi - lo
+    if "bcast" in _FABL:  # timing ablation: skip the read + dot
+        return jnp.zeros((qs, n, E.shape[1]), jnp.float32)
+    blk = ref[0, lo:hi].astype(E.dtype)              # (qs, N, Bsz)
     flat = blk.reshape(qs * n, blk.shape[-1])
     out = jax.lax.dot_general(
         flat, E, (((1,), (0,)), ((), ())),
@@ -155,7 +191,8 @@ def _fwd_kernel_folded(
     raw = d_ref[0].astype(jnp.float32) + db_ref[0]
     dlt = jax.nn.softplus(raw) if softplus else raw
     du = dlt * u
-    E, _ = _bcast_mats(Bsz, LT, dg, pl.program_id(1), want_w=False)
+    E, _ = _bcast_mats(Bsz, LT, dg, pl.program_id(1), want_w=False,
+                       e_dtype=xs_ref.dtype)
 
     sl = functools.partial(jax.lax.slice_in_dim, axis=0)
     nq = max(1, Lc // _EPI_QUARTER)
@@ -181,8 +218,12 @@ def _fwd_kernel_folded(
             xs_ref[te] = x.astype(xs_ref.dtype)
         return x
 
-    state_ref[:] = jax.lax.fori_loop(0, Lc // _UNROLL, body, state_ref[:])
+    if "fwdloop" not in _FABL:
+        state_ref[:] = jax.lax.fori_loop(0, Lc // _UNROLL, body, state_ref[:])
 
+    if "yepi" in _FABL:
+        y_ref[0] = u_ref[0]
+        return
     ys = []
     for q in range(nq):
         lo, hi = q * qs, (q + 1) * qs
@@ -241,7 +282,8 @@ def _bwd_kernel_folded(
     dlt = jax.nn.softplus(raw) if softplus else raw
     du_in = dlt * u
     g = g_ref[0].astype(jnp.float32)                 # (Lc, LT)
-    E, W = _bcast_mats(Bsz, LT, dg, pl.program_id(1), want_w=True)
+    E, W = _bcast_mats(Bsz, LT, dg, pl.program_id(1), want_w=True,
+                       e_dtype=xs_ref.dtype)
 
     sl = functools.partial(jax.lax.slice_in_dim, axis=0)
     nq = max(1, Lc // _EPI_QUARTER)
@@ -269,8 +311,9 @@ def _bwd_kernel_folded(
             xs_ref[te] = x.astype(xs_ref.dtype)
         return x
 
-    jax.lax.fori_loop(0, Lc // _UNROLL, fbody,
-                      cs_ref[0, 0, 0].astype(jnp.float32))
+    if "fwdloop" not in _FABL:
+        jax.lax.fori_loop(0, Lc // _UNROLL, fbody,
+                          cs_ref[0, 0, 0].astype(jnp.float32))
 
     # --- reverse scan (in scan order): e_t = C_t g_t + a_{t+1} e_{t+1} ---
     def rbody(i, carry):
@@ -282,9 +325,17 @@ def _bwd_kernel_folded(
             carry = a_ref[te].astype(jnp.float32) * e
         return carry
 
-    carry_ref[:] = jax.lax.fori_loop(0, Lc // _UNROLL, rbody, carry_ref[:])
+    if "revloop" not in _FABL:
+        carry_ref[:] = jax.lax.fori_loop(0, Lc // _UNROLL, rbody,
+                                         carry_ref[:])
 
     # --- vectorized gradient epilogue, chunked into _EPI_QUARTER strips ---
+    if "epi" in _FABL:  # timing ablation: cheap writes keep outputs defined
+        du_ref[0] = g_ref[0]
+        dd_ref[0] = g_ref[0]
+        dB_ref[0, 0] = B_ref[0].astype(dB_ref.dtype)
+        dC_ref[0, 0] = C_ref[0].astype(dC_ref.dtype)
+        return
     entry = cs_ref[0, 0, 0].astype(xs_ref.dtype)[None]   # (1, N, LT)
     dds, dus, dBs, dCs = [], [], [], []
     dA_acc = jnp.zeros_like(dA_ref[0, 0])
@@ -319,15 +370,33 @@ def _bwd_kernel_folded(
         dds.append(dd_total.astype(dd_ref.dtype))
         dus.append((ddu * dlt_q + Dsk_ref[0] * g_q).astype(du_ref.dtype))
         # per-batch reductions over each batch's dg lanes ride the MXU (W)
-        dB_flat = (e * (dlt_q * u_q)[:, None, :]).reshape(qs * n, LT)
-        dC_flat = (xs * g_q[:, None, :]).reshape(qs * n, LT)
-        dBs.append(jax.lax.dot_general(
-            dB_flat, W, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).reshape(qs, n, Bsz).astype(
+        if "wdot" in _FABL:  # timing ablation: skip products + reduce dots
+            dBs.append(jnp.zeros((qs, n, Bsz), dB_ref.dtype))
+            dCs.append(jnp.zeros((qs, n, Bsz), dC_ref.dtype))
+        elif _WDOT_MODE == "bf16" and e_ref.dtype == jnp.bfloat16:
+            # the 5 ms of this path is the fp32 OPERAND slabs, not the MXU
+            # dot (folded_ablate: fp32->bf16 dot alone moved 0.3 ms): build
+            # the product slabs straight in bf16 (half the vector work, no
+            # cast pass). dB/dC are emitted in bf16 anyway; the extra
+            # per-term rounding is ~2^-9 with fp32 accumulation.
+            v_b = (dlt_q * u_q).astype(jnp.bfloat16)
+            g_b = g_q.astype(jnp.bfloat16)
+            dB_flat = (e_ref[lo:hi] * v_b[:, None, :]).reshape(qs * n, LT)
+            dC_flat = (xs_ref[lo:hi] * g_b[:, None, :]).reshape(qs * n, LT)
+            dims = (((1,), (0,)), ((), ()))
+            Wb = W.astype(jnp.bfloat16)
+            dBs.append(jax.lax.dot_general(
+                dB_flat, Wb, dims, preferred_element_type=jnp.float32
+            ).reshape(qs, n, Bsz).astype(dB_ref.dtype))
+            dCs.append(jax.lax.dot_general(
+                dC_flat, Wb, dims, preferred_element_type=jnp.float32
+            ).reshape(qs, n, Bsz).astype(dC_ref.dtype))
+        else:
+            dB_flat = (e * (dlt_q * u_q)[:, None, :]).reshape(qs * n, LT)
+            dC_flat = (xs * g_q[:, None, :]).reshape(qs * n, LT)
+            dBs.append(_wdot(dB_flat, W).reshape(qs, n, Bsz).astype(
                 dB_ref.dtype))
-        dCs.append(jax.lax.dot_general(
-            dC_flat, W, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32).reshape(qs, n, Bsz).astype(
+            dCs.append(_wdot(dC_flat, W).reshape(qs, n, Bsz).astype(
                 dC_ref.dtype))
         dA_acc += jnp.sum(eaxp * dlt_q[:, None, :], axis=0)
         dD_acc += jnp.sum(g_q * u_q, axis=0, keepdims=True)

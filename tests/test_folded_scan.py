@@ -183,6 +183,59 @@ def test_ss2d_folded_matches_xla_path(rng):
                                rtol=3e-4, atol=3e-4)
 
 
+def test_ss2d_hwbc_layout_matches_bhwc(rng):
+    """layout="hwbc" (time-major batch-minor activations) must reproduce the
+    default layout bit-for-bit on the folded path and via the fallback."""
+    from mamba_unet_tpu.nn.ss2d import SS2D
+
+    x = jnp.asarray(rng.normal(size=(8, 8, 8, 16)) * 0.5, jnp.float32)
+    m0 = SS2D(d_model=16, d_state=4, scan_impl="folded")
+    v = m0.init(jax.random.key(0), x)
+    want = m0.apply(v, x)
+    # auto in hwbc means folded; params are layout-independent
+    got = SS2D(d_model=16, d_state=4, scan_impl="auto", layout="hwbc").apply(
+        v, x.transpose(1, 2, 0, 3))
+    np.testing.assert_allclose(
+        np.asarray(got.transpose(2, 0, 1, 3)), np.asarray(want),
+        rtol=1e-6, atol=1e-6)
+    # non-folded impls under hwbc take the transpose fallback
+    got_tm = SS2D(d_model=16, d_state=4, scan_impl="tm", layout="hwbc").apply(
+        v, x.transpose(1, 2, 0, 3))
+    want_tm = SS2D(d_model=16, d_state=4, scan_impl="tm").apply(v, x)
+    np.testing.assert_allclose(
+        np.asarray(got_tm.transpose(2, 0, 1, 3)), np.asarray(want_tm),
+        rtol=1e-6, atol=1e-6)
+
+
+def test_vssm_hwbc_layout_matches(rng):
+    """Full MambaUnet in hwbc layout: logits AND grads match the default
+    layout with shared params (the layout is an internal detail)."""
+    from mamba_unet_tpu.models.vssm import MambaUnet
+
+    x = jnp.asarray(rng.normal(size=(8, 32, 32, 1)) * 0.5, jnp.float32)
+    kw = dict(num_classes=4, depths=(1, 1), dims=(16, 32), drop_path_rate=0.0)
+    m0 = MambaUnet(**kw, scan_impl="folded")
+    v = m0.init(jax.random.key(0), x[:1])
+    m1 = MambaUnet(**kw, layout="hwbc")
+    np.testing.assert_allclose(
+        np.asarray(m1.apply(v, x)), np.asarray(m0.apply(v, x)),
+        rtol=1e-5, atol=1e-5)
+
+    def loss(m):
+        return lambda v, x: jnp.sum(m.apply(v, x) ** 2)
+
+    g0 = jax.grad(loss(m0))(v, x)
+    g1 = jax.grad(loss(m1))(v, x)
+    # fwd is exact; grads differ only by reduction re-association in the
+    # transposed matmuls, so compare per-leaf RELATIVE error
+    errs = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max())
+        / (float(jnp.abs(a).max()) + 1e-8),
+        g0, g1)
+    worst = max(jax.tree_util.tree_leaves(errs))
+    assert worst < 2e-3, f"grad rel mismatch between layouts: {worst}"
+
+
 def test_folded_bf16_io(rng):
     u, delta, A, Bm, Cm, D, db = make_std_inputs(rng, bsz=4, L=64, dg=32)
     want = _ref_grouped(u, delta, A, Bm, Cm, D, db)
