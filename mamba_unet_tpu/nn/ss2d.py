@@ -370,10 +370,11 @@ class SS2D(nn.Module):
                 delta_bias=dt_projs_bias.reshape(-1).astype(jnp.float32),
                 delta_softplus=True,
                 chunk=self.scan_chunk,
-            ).astype(jnp.float32)                        # (B, 4, L, dg) data order
-            y = (ys[:, 0] + ys[:, 2]).reshape(bsz, H, W, d_inner) + (
-                ys[:, 1] + ys[:, 3]
-            ).reshape(bsz, W, H, d_inner).transpose(0, 2, 1, 3)
+                merge_pairs=True,
+            ).astype(jnp.float32)      # (B, 2, L, dg): [row+rowrev, col+colrev]
+            y = ys[:, 0].reshape(bsz, H, W, d_inner) + ys[:, 1].reshape(
+                bsz, W, H, d_inner
+            ).transpose(0, 2, 1, 3)
         elif use_tm:
             # time-major fast path: channels-last maps feed the Pallas kernel
             # without any (B, 4D, L) transposes

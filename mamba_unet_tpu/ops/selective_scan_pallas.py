@@ -582,7 +582,13 @@ def _scan_core_fwd(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk, interpret):
     return y, (u, delta, A_t, Bm, Cm, Dsk, db, cs)
 
 
-def _scan_bwd_impl(res, gy, softplus, chunk, interpret, bidir=False):
+def _scan_bwd_impl(res, gy, softplus, chunk, interpret, bidir=False,
+                   merged_gy=False):
+    """merged_gy: gy is the PAIR-SUMMED cotangent (B, 2, L, dg) — directions
+    g and g+2 of a data stream receive identical data-order cotangents when
+    the caller consumes y as (y0+y2, y1+y3), so the kernel reads one
+    half-size gy with a g%2 index map instead of a broadcast-materialized
+    (B, 4, L, dg)."""
     u, delta, A_t, Bm, Cm, Dsk, db, cs = res
     bsz, G, L, dg = (delta.shape if bidir else u.shape)
     n = A_t.shape[1]
@@ -637,7 +643,9 @@ def _scan_bwd_impl(res, gy, softplus, chunk, interpret, bidir=False):
                 lambda b, g, dt, ck: (b, g, dt, rev(ck), 0, 0),
             ),
             pl.BlockSpec((bt, 1, Lc, dgt),
-                         lambda b, g, dt, ck: (b, g, cke(g, ck), dt)),
+                         (lambda b, g, dt, ck: (b, g % 2, cke(g, ck), dt))
+                         if merged_gy
+                         else (lambda b, g, dt, ck: (b, g, cke(g, ck), dt))),
         ],
         out_specs=[
             pl.BlockSpec((bt, 1, Lc, dgt),
@@ -713,6 +721,35 @@ def _scan_core_bidir_bwd(softplus, chunk, interpret, res, gy):
 _scan_core_bidir.defvjp(_scan_core_bidir_fwd, _scan_core_bidir_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _scan_core_bidir_merged(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk,
+                            interpret):
+    """Bidir scan returning the PAIR-SUMMED y (B, 2, L, dg): out[:, m] =
+    y_dir_m + y_dir_{m+2} (both in data order). Semantically identical to
+    summing the 4-direction output, but the VJP's cotangent is half-size:
+    the broadcast back to 4 directions happens in the backward kernel's
+    index maps instead of a materialized (B, 4, L, dg) HBM array."""
+    y, _ = _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk,
+                          interpret, bidir=True, save_cs=False)
+    return y[:, :2] + y[:, 2:]
+
+
+def _scan_core_bidir_merged_fwd(u, delta, A_t, Bm, Cm, Dsk, db, softplus,
+                                chunk, interpret):
+    y, cs = _scan_fwd_impl(u, delta, A_t, Bm, Cm, Dsk, db, softplus, chunk,
+                           interpret, bidir=True)
+    return y[:, :2] + y[:, 2:], (u, delta, A_t, Bm, Cm, Dsk, db, cs)
+
+
+def _scan_core_bidir_merged_bwd(softplus, chunk, interpret, res, gy):
+    return _scan_bwd_impl(res, gy, softplus, chunk, interpret, bidir=True,
+                          merged_gy=True)
+
+
+_scan_core_bidir_merged.defvjp(_scan_core_bidir_merged_fwd,
+                               _scan_core_bidir_merged_bwd)
+
+
 def selective_scan_pallas_bidir(
     u2,         # (B, 2, L, dg) — the two DATA streams [row-major, col-major]
     delta4,     # (B, 4, L, dg) — per-direction, in DATA order
@@ -724,6 +761,7 @@ def selective_scan_pallas_bidir(
     delta_softplus: bool = False,
     chunk: int = DEFAULT_CHUNK,
     interpret: Optional[bool] = None,
+    merge_pairs: bool = False,
 ):
     """4-direction cross-scan WITHOUT materialized flips: directions are
     [row, col, row-reversed, col-reversed]; direction g reads data stream
@@ -731,14 +769,20 @@ def selective_scan_pallas_bidir(
     the kernel (reversed chunk index maps + mirrored in-block indices) —
     the TPU replacement for the reference's flipped copies
     (mamba_sys.py:403-404 torch.flip). Returns y (B, 4, L, dg) in DATA order
-    (already un-reversed), so the merge is a plain sum + transpose."""
+    (already un-reversed), so the merge is a plain sum + transpose.
+
+    merge_pairs=True returns the pair-summed (B, 2, L, dg) —
+    [row + row-rev, col + col-rev] — and halves the backward's cotangent
+    materialization (direction pairs share identical data-order cotangents,
+    so only the gy index map differs)."""
     if interpret is None:
         interpret = not on_tpu()
     bsz, G, L, dg = delta4.shape
     n = A.shape[1]
     io = jnp.bfloat16 if u2.dtype == jnp.bfloat16 else jnp.float32
     A_t, Dsk, db = _prep_params(A, D, delta_bias, G, dg, n)
-    return _scan_core_bidir(
+    core = _scan_core_bidir_merged if merge_pairs else _scan_core_bidir
+    return core(
         u2.astype(io), delta4.astype(io), A_t, B4.astype(io), C4.astype(io),
         Dsk, db, delta_softplus, chunk, interpret,
     )

@@ -107,3 +107,49 @@ def test_ss2d_bidir_matches_xla_path(rng):
     got = m_bd.apply(v, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=3e-4, atol=3e-4)
+
+
+def test_bidir_merge_pairs_fwd_and_grads(rng):
+    """merge_pairs=True: y == pairwise sum of the 4-direction output, and
+    ALL gradients match the explicit-sum formulation (the half-size
+    cotangent path must be transparent)."""
+    bsz, L, dg, n = 2, 48, 8, 4
+    u2 = jnp.asarray(rng.normal(size=(bsz, 2, L, dg)), jnp.float32)
+    delta4 = jnp.asarray(0.3 * rng.normal(size=(bsz, 4, L, dg)), jnp.float32)
+    A = -jnp.exp(jnp.asarray(rng.normal(size=(4 * dg, n)), jnp.float32) * 0.5)
+    B4 = jnp.asarray(rng.normal(size=(bsz, 4, L, n)), jnp.float32)
+    C4 = jnp.asarray(rng.normal(size=(bsz, 4, L, n)), jnp.float32)
+    D = jnp.asarray(rng.normal(size=(4 * dg,)), jnp.float32)
+    db = jnp.asarray(0.1 * rng.normal(size=(4 * dg,)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(bsz, 2, L, dg)), jnp.float32)
+
+    got = selective_scan_pallas_bidir(
+        u2, delta4, A, B4, C4, D=D, delta_bias=db, delta_softplus=True,
+        chunk=16, interpret=True, merge_pairs=True,
+    )
+    y4 = _ref_bidir(u2, delta4, A, B4, C4, D, db)
+    want = y4[:, :2] + y4[:, 2:]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-4, atol=2e-4)
+
+    def loss_m(u2, delta4, A, B4, C4, D, db):
+        y = selective_scan_pallas_bidir(
+            u2, delta4, A, B4, C4, D=D, delta_bias=db, delta_softplus=True,
+            chunk=16, interpret=True, merge_pairs=True,
+        )
+        return jnp.sum(y * w)
+
+    def loss_r(u2, delta4, A, B4, C4, D, db):
+        y4 = _ref_bidir(u2, delta4, A, B4, C4, D, db)
+        return jnp.sum((y4[:, :2] + y4[:, 2:]) * w)
+
+    gm = jax.grad(loss_m, argnums=(0, 1, 2, 3, 4, 5, 6))(
+        u2, delta4, A, B4, C4, D, db)
+    gr = jax.grad(loss_r, argnums=(0, 1, 2, 3, 4, 5, 6))(
+        u2, delta4, A, B4, C4, D, db)
+    names = ["du", "ddelta", "dA", "dB", "dC", "dD", "ddelta_bias"]
+    for name, a, b in zip(names, gm, gr):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-3, atol=2e-3,
+            err_msg=f"gradient mismatch: {name}",
+        )
