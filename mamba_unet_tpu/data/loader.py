@@ -4,6 +4,14 @@ Replaces the reference's 16-worker torch DataLoader with a single background
 prefetch thread (this host has one core; augmentation is cheap numpy) feeding
 ``jax.device_put`` with an optional ``NamedSharding`` so each batch lands
 already sharded across the mesh's data axis.
+
+Integer arrays ship at their narrowest width — segmentation class ids fit
+uint8, an 8x cut vs the int64 numpy default (``jax.nn.one_hot`` and integer
+comparisons accept any int dtype on device). This matters on PCIe and 10x
+more through the axon tunnel (measured ~34 MB/s). Transfers stay in the
+consumer: moving them into the producer thread was measured WORSE through
+the tunnel (e2e 54 -> 34 slices/s — the background device_put contends with
+the step's RPC dispatch).
 """
 
 from __future__ import annotations
@@ -16,6 +24,18 @@ import jax
 import numpy as np
 
 
+def _compact_int(a: np.ndarray) -> np.ndarray:
+    """Narrowest safe integer dtype for device transfer (class-id arrays)."""
+    if a.size == 0 or a.dtype.itemsize <= 1:
+        return a
+    lo, hi = a.min(), a.max()
+    if 0 <= lo and hi < 256:
+        return a.astype(np.uint8)
+    if np.iinfo(np.int32).min <= lo and hi <= np.iinfo(np.int32).max:
+        return a.astype(np.int32)
+    return a
+
+
 def _collate(samples) -> Dict[str, np.ndarray]:
     out: Dict[str, np.ndarray] = {}
     for key in samples[0]:
@@ -24,6 +44,8 @@ def _collate(samples) -> Dict[str, np.ndarray]:
             out[key] = np.asarray(vals)
         else:
             out[key] = np.stack(vals)
+        if np.issubdtype(out[key].dtype, np.integer):
+            out[key] = _compact_int(out[key])
     return out
 
 
