@@ -77,7 +77,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--snapshot_dir", type=str, default=None)
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
     p.add_argument("--scan_impl", type=str, default=None,
-                   choices=["auto", "bidir", "tm", "pallas", "xla"],
+                   choices=["auto", "bidir", "tm", "pallas", "xla", "folded"],
                    help="selective-scan path override (ViM models; default "
                         "auto = bidir kernel on TPU)")
     p.add_argument("--drop_path", type=float, default=None,

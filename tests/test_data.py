@@ -104,3 +104,30 @@ def test_random_generator_augmentation_variety(acdc_root):
     ds = SliceDataset(acdc_root, transform=RandomGenerator((32, 32), seed=8))
     imgs = [ds[0]["image"] for _ in range(6)]
     assert any(not np.allclose(imgs[0], im) for im in imgs[1:])
+
+
+def test_loader_compacts_integer_batches(tmp_path):
+    """Class-id label arrays collate to uint8 (8x transfer cut vs int64);
+    wide values stay wide enough."""
+    import numpy as np
+
+    from mamba_unet_tpu.data.loader import _collate, _compact_int
+
+    samples = [
+        {"image": np.zeros((8, 8), np.float32),
+         "label": np.full((8, 8), 3, np.int64),
+         "idx": i}
+        for i in range(4)
+    ]
+    out = _collate(samples)
+    assert out["image"].dtype == np.float32
+    assert out["label"].dtype == np.uint8
+    assert out["idx"].dtype in (np.uint8,)  # small ints compact too
+    assert int(out["label"].max()) == 3
+
+    big = np.array([0, 70000], np.int64)
+    assert _compact_int(big).dtype == np.int32
+    neg = np.array([-5, 3], np.int64)
+    assert _compact_int(neg).dtype == np.int32
+    huge = np.array([0, 2**40], np.int64)
+    assert _compact_int(huge).dtype == np.int64
