@@ -30,7 +30,7 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["fully_supervised", "mean_teacher", "uamt",
                             "cross_teaching", "magicnet",
                             "contrastive_consistency", "mask_pretrain",
-                            "mad_pretrain", "mad_finetune"])
+                            "mad_pretrain", "mad_finetune", "weak_scribble"])
     p.add_argument("--cfg", type=str, default=None,
                    help="yaml model config (configs/*.yaml)")
     p.add_argument("--opts", nargs="*", default=None,
@@ -66,7 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "architecture as --model, matching the reference "
                         "train_Semi_Mamba_UNet.py which builds both models "
                         "as ViM_seg; pass e.g. 'unet' to opt into a "
-                        "CNN<->Mamba pairing)")
+                        "CNN<->Mamba pairing); for weak_scribble the "
+                        "default is ViT_seg (the paper's CNN+ViT+Mamba trio)")
+    p.add_argument("--model3", type=str, default=None,
+                   help="third network for weak_scribble (default ViM_seg; "
+                        "WeakMambaUNet.pdf trains UNet + Swin-UNet + "
+                        "Mamba-UNet jointly)")
     p.add_argument("--patch_size", type=int, nargs="+", default=[256, 256],
                    help="2 ints (2-D) or 3 ints (3-D volumes)")
     p.add_argument("--num_classes", type=int, default=4)
@@ -170,6 +175,9 @@ def main(argv=None) -> int:
         spec = args.synthetic_spec or [8, 8, 2, 0, args.patch_size[0]]
         cases, slices, n_val, n_test, size = spec
         hard_tag = "h" if args.synthetic_hard else ""
+        scrib = args.method == "weak_scribble"
+        if scrib:
+            hard_tag += "w"
         root = os.path.join(
             tempfile.gettempdir(),
             f"synthetic_acdc_{cases}x{slices}v{n_val}t{n_test}s{size}{hard_tag}",
@@ -183,6 +191,7 @@ def main(argv=None) -> int:
                 n_test_cases=n_test,
                 size=size,
                 hard=args.synthetic_hard,
+                scribble=scrib,
             )
 
     kwargs = {"num_classes": args.num_classes}
@@ -285,6 +294,14 @@ def main(argv=None) -> int:
             cfg.patch_size, num_classes=args.num_classes,
             error_val=args.image_noise, seed=args.seed,
         ))
+    elif args.method == "weak_scribble":
+        # scribble supervision (Weak-Mamba-UNet): the h5 'scribble' key is
+        # the train label; rotation fills corners with the ignore index
+        train_ds = SliceDataset(
+            root, sup_type="scribble",
+            transform=RandomGenerator(cfg.patch_size, seed=args.seed,
+                                      label_cval=args.num_classes),
+        )
     else:
         # --labeled_slices with fully_supervised = the labeled-only
         # baseline of the semi papers' tables (train on just that subset)
@@ -306,8 +323,33 @@ def main(argv=None) -> int:
                                      seed=args.seed)
         train_ds = SliceDataset(root, transform=cta_transform)
 
-    if args.method in ("fully_supervised", "mask_pretrain", "mad_pretrain",
-                       "mad_finetune"):
+    if args.method == "weak_scribble":
+        # every slice carries (sparse) labels — plain shuffle, no two-stream
+        from mamba_unet_tpu.train.weak import WeakScribbleTrainer
+
+        def _build_net(name):
+            kw2 = {"num_classes": args.num_classes}
+            if args.bf16:
+                kw2["dtype"] = jnp.bfloat16
+            if name == "ViT_seg":
+                kw2["img_size"] = args.patch_size[0]
+            if args.drop_path is not None and name in ("ViM_seg", "ViT_seg",
+                                                       "mambaunet"):
+                kw2["drop_path_rate"] = args.drop_path
+            if args.scan_impl is not None and name in ("ViM_seg", "mambaunet"):
+                kw2["scan_impl"] = args.scan_impl
+            return net_factory(name, **kw2)
+
+        sampler = EpochShuffleSampler(len(train_ds), cfg.batch_size,
+                                      seed=args.seed)
+        trainer = WeakScribbleTrainer(
+            model, cfg,
+            model2=_build_net(args.model2 or "ViT_seg"),
+            model3=_build_net(args.model3 or "ViM_seg"),
+            tx=_make_tx(args),
+        )
+    elif args.method in ("fully_supervised", "mask_pretrain", "mad_pretrain",
+                         "mad_finetune"):
         sampler = EpochShuffleSampler(len(train_ds), cfg.batch_size, seed=args.seed)
         if args.method == "mask_pretrain":
             from mamba_unet_tpu.train.mask_pretrain import MaskPretrainTrainer

@@ -17,6 +17,7 @@ from mamba_unet_tpu.data.sampler import (
     EpochShuffleSampler,
 )
 from mamba_unet_tpu.data.loader import Loader
+from mamba_unet_tpu.data.scribble import scribbles_from_mask
 from mamba_unet_tpu.data.synthetic import make_synthetic_acdc
 
 __all__ = [
@@ -31,4 +32,5 @@ __all__ = [
     "EpochShuffleSampler",
     "Loader",
     "make_synthetic_acdc",
+    "scribbles_from_mask",
 ]

@@ -50,9 +50,14 @@ class SliceDataset:
         num: Optional[int] = None,
         transform=None,
         cache: bool = True,
+        sup_type: str = "label",
     ):
+        """``sup_type="scribble"`` serves the h5 ``scribble`` dataset as the
+        training label (sparse annotation, 4 = unlabeled) — the
+        Weak-Mamba-UNet / WSL4MIS supervision mode."""
         self.base_dir = base_dir
         self.transform = transform
+        self.sup_type = sup_type
         self.ids = _read_list(os.path.join(base_dir, "train_slices.list"))
         if num is not None:
             self.ids = self.ids[:num]
@@ -65,7 +70,7 @@ class SliceDataset:
         with h5py.File(path, "r") as f:
             return {
                 "image": np.asarray(f["image"], np.float32),
-                "label": np.asarray(f["label"], np.int64),
+                "label": np.asarray(f[self.sup_type], np.int64),
             }
 
     def __len__(self) -> int:

@@ -33,10 +33,14 @@ def random_rot_flip(
     return image, label
 
 
-def random_rotate(rng: np.random.Generator, image: np.ndarray, label: np.ndarray):
+def random_rotate(rng: np.random.Generator, image: np.ndarray, label: np.ndarray,
+                  label_cval: float = 0.0):
+    """``label_cval`` fills the rotated-out corners of the label — 0 for
+    dense masks; the ignore index (4) for scribbles, so rotation does not
+    mint false background annotations."""
     angle = int(rng.integers(-20, 20))
     image = ndimage.rotate(image, angle, order=0, reshape=False)
-    label = ndimage.rotate(label, angle, order=0, reshape=False)
+    label = ndimage.rotate(label, angle, order=0, reshape=False, cval=label_cval)
     return image, label
 
 
@@ -53,16 +57,19 @@ class RandomGenerator:
     """THE standard train transform (dataset.py:505-522): coin-flip
     rot90+flip, elif-coin rotate ±20°, order-0 zoom to patch size."""
 
-    def __init__(self, output_size: Sequence[int], seed: int = 0):
+    def __init__(self, output_size: Sequence[int], seed: int = 0,
+                 label_cval: float = 0.0):
         self.output_size = tuple(output_size)
         self.rng = np.random.default_rng(seed)
+        self.label_cval = label_cval
 
     def __call__(self, sample: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         image, label = sample["image"], sample["label"]
         if self.rng.random() > 0.5:
             image, label = random_rot_flip(self.rng, image, label)
         elif self.rng.random() > 0.5:
-            image, label = random_rotate(self.rng, image, label)
+            image, label = random_rotate(self.rng, image, label,
+                                         label_cval=self.label_cval)
         image, label = _resize_pair(image, label, self.output_size)
         return {
             "image": image.astype(np.float32)[..., None],

@@ -101,11 +101,15 @@ def make_synthetic_acdc(
     size: int = 64,
     seed: int = 0,
     hard: bool = False,
+    scribble: bool = False,
 ) -> str:
     """Create the dataset under ``root`` and return ``root``.
 
     ``hard=True`` uses the discriminating phantom (_phantom_hard); the last
-    ~30% of each case's slices are apical (no RV)."""
+    ~30% of each case's slices are apical (no RV).  ``scribble=True`` adds a
+    sparse ``scribble`` dataset to every train-slice h5 (ACDC-scribble
+    convention: classes 0..3 scribbled, 4 = unlabeled) for the
+    weakly-supervised Weak-Mamba-UNet protocol."""
     rng = np.random.default_rng(seed)
     os.makedirs(os.path.join(root, "data", "slices"), exist_ok=True)
 
@@ -124,6 +128,11 @@ def make_synthetic_acdc(
             with h5py.File(os.path.join(root, "data", "slices", f"{sid}.h5"), "w") as f:
                 f.create_dataset("image", data=image)
                 f.create_dataset("label", data=label)
+                if scribble:
+                    from mamba_unet_tpu.data.scribble import scribbles_from_mask
+
+                    f.create_dataset("scribble",
+                                     data=scribbles_from_mask(label, rng))
             train_ids.append(sid)
 
     def write_volumes(prefix: str, n: int, listname: str):
