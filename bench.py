@@ -74,6 +74,43 @@ def bench_e2e(trainer, batch_size, patch, n_steps=40) -> float:
     return n_steps * batch_size / dt
 
 
+def bench_companion(which: str) -> float:
+    """Train-step slices/s for the OTHER two headline models of the
+    reference (BASELINE.md: UNet @256² bs24, Swin-UNet @224² bs24) — both
+    MXU-mapped, showing the framework ceiling when the workload is
+    matmuls/convs. Same protocol as the flagship measurement."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mamba_unet_tpu.models.registry import net_factory
+    from mamba_unet_tpu.train import TrainConfig, Trainer
+
+    name, patch = {"unet": ("unet", 256), "swinunet": ("ViT_seg", 224)}[which]
+    batch_size = 24
+    tc = TrainConfig(base_lr=0.01, max_iterations=10_000,
+                     batch_size=batch_size, patch_size=(patch, patch),
+                     num_classes=4, seed=1337, log_every=10_000,
+                     eval_every=10_000)
+    trainer = Trainer(net_factory(name, num_classes=4, dtype=jnp.bfloat16), tc)
+    rng = np.random.default_rng(0)
+    batch = {
+        "image": jax.device_put(
+            rng.normal(size=(batch_size, patch, patch, 1)).astype(np.float32),
+            trainer._bsh),
+        "label": jax.device_put(
+            rng.integers(0, 4, size=(batch_size, patch, patch)), trainer._bsh),
+    }
+    trainer.state, logs = trainer._step(trainer.state, batch)
+    _ = float(logs["loss_total"])
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        trainer.state, logs = trainer._step(trainer.state, batch)
+    _ = float(logs["loss_total"])
+    return n_steps * batch_size / (time.perf_counter() - t0)
+
+
 def main() -> None:
     import sys
 
@@ -144,6 +181,18 @@ def main() -> None:
             "e2e_slices_per_sec": round(e2e, 2),
             "e2e_gap_pct": round(100.0 * (1 - e2e / slices_per_sec), 1),
         }
+
+    # the reference's other two headline models (same anchor); never let a
+    # companion failure break the primary metric
+    if "--no_zoo" not in sys.argv:
+        for key, which in (("unet_256", "unet"), ("swin_unet_224", "swinunet")):
+            try:
+                sps = bench_companion(which)
+                extra[f"{key}_slices_per_sec"] = round(sps, 2)
+                extra[f"{key}_vs_baseline"] = round(
+                    sps / BASELINE_SLICES_PER_SEC, 2)
+            except Exception as e:  # pragma: no cover
+                extra[f"{key}_error"] = repr(e)[:120]
 
     print(
         json.dumps(
