@@ -80,6 +80,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--consistency", type=float, default=0.1)
     p.add_argument("--consistency_rampup", type=float, default=200.0)
     p.add_argument("--snapshot_dir", type=str, default=None)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest periodic checkpoint in "
+                        "--snapshot_dir (params+opt_state+step; "
+                        "kill-and-resume, beyond the reference)")
+    p.add_argument("--ckpt_every", type=int, default=3000,
+                   help="periodic (resumable) checkpoint cadence")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
     p.add_argument("--scan_impl", type=str, default=None,
                    choices=["auto", "bidir", "tm", "pallas", "xla", "folded"],
@@ -231,6 +237,8 @@ def main(argv=None) -> int:
         eval_every=args.eval_every,
         seed=args.seed,
         snapshot_dir=args.snapshot_dir,
+        resume=args.resume,
+        ckpt_every=args.ckpt_every,
         in_channels=(args.num_classes if args.method == "mad_pretrain" else 1),
     )
 
