@@ -72,6 +72,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="third network for weak_scribble (default ViM_seg; "
                         "WeakMambaUNet.pdf trains UNet + Swin-UNet + "
                         "Mamba-UNet jointly)")
+    p.add_argument("--weak_pce_only", action="store_true",
+                   help="weak_scribble ablation: scribble pCE alone, no "
+                        "composite pseudo-label Dice (the paper's baseline)")
     p.add_argument("--patch_size", type=int, nargs="+", default=[256, 256],
                    help="2 ints (2-D) or 3 ints (3-D volumes)")
     p.add_argument("--num_classes", type=int, default=4)
@@ -354,6 +357,7 @@ def main(argv=None) -> int:
             model, cfg,
             model2=_build_net(args.model2 or "ViT_seg"),
             model3=_build_net(args.model3 or "ViM_seg"),
+            pce_only=args.weak_pce_only,
             tx=_make_tx(args),
         )
     elif args.method in ("fully_supervised", "mask_pretrain", "mad_pretrain",

@@ -68,11 +68,14 @@ class WeakScribbleTrainer(Trainer):
     """Three-network scribble-supervised trainer (Weak-Mamba-UNet)."""
 
     def __init__(self, model, config: TrainConfig, model2, model3,
-                 ignore_index: int = None, **kw):
+                 ignore_index: int = None, pce_only: bool = False, **kw):
         self.model2 = model2
         self.model3 = model3
         self.ignore_index = (config.num_classes if ignore_index is None
                              else ignore_index)
+        # the paper's ablation baseline (WeakMambaUNet.pdf Table 2 "pCE"):
+        # scribble CE alone, no composite pseudo-label Dice
+        self.pce_only = pce_only
         super().__init__(model, config, **kw)
         cfg = config
         sample = jnp.zeros((cfg.batch_size, *cfg.patch_size, 1), jnp.float32)
@@ -111,7 +114,10 @@ class WeakScribbleTrainer(Trainer):
             )
             pces = [cross_entropy_loss(o, scrib, ignore_index=self.ignore_index)
                     for o in outs]
-            dices = [dice_loss_from_labels(s, pseudo) for s in softs]
+            if self.pce_only:
+                dices = [jnp.zeros(()) for _ in softs]
+            else:
+                dices = [dice_loss_from_labels(s, pseudo) for s in softs]
             per_model = [pce + d for pce, d in zip(pces, dices)]
             total = sum(per_model)
             logs = {"loss_total": total,

@@ -117,3 +117,37 @@ def test_cli_weak_scribble_smoke(tmp_path):
         "--max_iterations", "2", "--eval_every", "1000",
         "--num_classes", "4", "--snapshot_dir", str(tmp_path / "snap"),
     ]) == 0
+
+
+def test_weak_trainer_pce_only_ablation(tmp_path):
+    """The paper's ablation baseline: pCE alone — the pseudo-label Dice term
+    must be exactly zero and training must still step."""
+    from mamba_unet_tpu.data import (
+        EpochShuffleSampler,
+        Loader,
+        RandomGenerator,
+        SliceDataset,
+        make_synthetic_acdc,
+    )
+    from mamba_unet_tpu.models import net_factory
+    from mamba_unet_tpu.train import TrainConfig
+    from mamba_unet_tpu.train.weak import WeakScribbleTrainer
+
+    root = make_synthetic_acdc(str(tmp_path / "ds"), n_train_cases=2,
+                               slices_per_case=4, n_val_cases=0, size=32,
+                               scribble=True)
+    cfg = TrainConfig(base_lr=0.01, max_iterations=2, batch_size=8,
+                      patch_size=(32, 32), num_classes=4, eval_every=1000)
+    nets = [net_factory("unet", num_classes=4) for _ in range(3)]
+    trainer = WeakScribbleTrainer(nets[0], cfg, model2=nets[1],
+                                  model3=nets[2], pce_only=True)
+    ds = SliceDataset(root, sup_type="scribble",
+                      transform=RandomGenerator((32, 32), label_cval=4))
+    batch = next(iter(Loader(ds, EpochShuffleSampler(len(ds), 8, seed=0))))
+    tri, logs = trainer._tri_step(
+        trainer.tri,
+        {"image": jax.device_put(batch["image"]),
+         "label": jax.device_put(batch["label"])},
+    )
+    assert float(logs["loss_pseudo_dice"]) == 0.0
+    assert np.isfinite(float(logs["loss_total"]))
