@@ -41,6 +41,10 @@ def build_parser():
     p.add_argument("--denoiser_checkpoint", type=str, default=None,
                    help="orbax snapshot dir of the denoiser (e.g. a "
                         "mad_pretrain run)")
+    p.add_argument("--ckpt_name", type=str, default=None,
+                   help="checkpoint name prefix to load (default: 'best', "
+                        "falling back to 'state'); multi-model trainers "
+                        "save per-network bests as best/best2/best3")
     return p
 
 
@@ -71,10 +75,12 @@ def run_inference(args) -> dict:
         smp = jnp.zeros((1, *args.patch_size, in_ch), jnp.float32)
         v = jax.jit(m.init)(jax.random.key(0), smp)
         if ckpt:
-            step = latest_step(ckpt, "best")
-            nm = "best" if step is not None else "state"
-            step = step if step is not None else latest_step(ckpt)
-            assert step is not None, f"no checkpoint under {ckpt}"
+            nm = args.ckpt_name or "best"
+            step = latest_step(ckpt, nm)
+            if step is None and args.ckpt_name is None:
+                nm = "state"
+                step = latest_step(ckpt)
+            assert step is not None, f"no '{nm}' checkpoint under {ckpt}"
             target = {"params": v["params"],
                       "batch_stats": v.get("batch_stats", {})}
             restored = restore_checkpoint(ckpt, step, target, nm)

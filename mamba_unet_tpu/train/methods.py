@@ -357,7 +357,7 @@ class CrossTeachingTrainer(Trainer):
         best_dice = 0.0   # model 1 (the headline)
         best_dice2 = 0.0  # model 2
         history = []
-        it = self.try_resume()
+        it = it0 = self.try_resume()
         t0 = time.time()
         for batch in train_loader:
             if it >= cfg.max_iterations:
@@ -372,7 +372,7 @@ class CrossTeachingTrainer(Trainer):
             if it % cfg.log_every == 0 or it == 1:
                 log.info("iter %d loss %.4f (m1 %.4f m2 %.4f) (%.1f it/s)",
                          it, float(logs["loss_total"]), float(logs["loss_model1"]),
-                         float(logs["loss_model2"]), it / (time.time() - t0))
+                         float(logs["loss_model2"]), (it - it0) / (time.time() - t0))
                 history.append({"iter": it, "loss": float(logs["loss_total"])})
             if val_dataset is not None and it % cfg.eval_every == 0:
                 dice = self.evaluate(val_dataset)

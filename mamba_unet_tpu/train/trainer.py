@@ -193,7 +193,7 @@ class Trainer:
         cfg = self.config
         best_dice = 0.0
         history = []
-        it = self.try_resume()
+        it = it0 = self.try_resume()
         tb = None
         if cfg.tensorboard and cfg.snapshot_dir:
             from mamba_unet_tpu.utils.experiment import TensorboardLogger
@@ -214,7 +214,7 @@ class Trainer:
                 lr = float(logs["lr"]) if "lr" in logs else float("nan")
                 log.info(
                     "iter %d loss %.4f lr %.5f (%.1f it/s)",
-                    it, loss, lr, it / (time.time() - t0),
+                    it, loss, lr, (it - it0) / (time.time() - t0),
                 )
                 history.append({"iter": it, "loss": loss})
                 if tb is not None:

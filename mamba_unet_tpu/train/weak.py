@@ -210,7 +210,7 @@ class WeakScribbleTrainer(Trainer):
         best = [0.0, 0.0, 0.0]
         names = ("best", "best2", "best3")
         history = []
-        it = self.try_resume()
+        it = it0 = self.try_resume()
         t0 = time.time()
         for batch in train_loader:
             if it >= cfg.max_iterations:
@@ -227,7 +227,7 @@ class WeakScribbleTrainer(Trainer):
                     "iter %d loss %.4f (m1 %.4f m2 %.4f m3 %.4f) (%.1f it/s)",
                     it, float(logs["loss_total"]), float(logs["loss_model1"]),
                     float(logs["loss_model2"]), float(logs["loss_model3"]),
-                    it / (time.time() - t0),
+                    (it - it0) / (time.time() - t0),
                 )
                 history.append({"iter": it, "loss": float(logs["loss_total"])})
             if val_dataset is not None and it % cfg.eval_every == 0:

@@ -107,16 +107,29 @@ def test_weak_trainer_three_tiny_nets(tmp_path):
 
 
 def test_cli_weak_scribble_smoke(tmp_path):
+    from mamba_unet_tpu.cli.test import main as test_main
     from mamba_unet_tpu.cli.train import main
 
+    snap = str(tmp_path / "snap")
     assert main([
         "--method", "weak_scribble", "--model", "unet",
         "--model2", "unet", "--model3", "unet",
         "--synthetic", "--synthetic_spec", "2", "4", "1", "0", "32",
         "--patch_size", "32", "32", "--batch_size", "8",
-        "--max_iterations", "2", "--eval_every", "1000",
-        "--num_classes", "4", "--snapshot_dir", str(tmp_path / "snap"),
+        "--max_iterations", "2", "--eval_every", "1",
+        "--num_classes", "4", "--snapshot_dir", snap,
     ]) == 0
+    # each trio member's best checkpoint is testable through cli.test
+    import os
+
+    root = [d for d in os.listdir("/tmp") if d.startswith(
+        "synthetic_acdc_2x4v1t0s32w")][0]
+    for name in ("best", "best2", "best3"):
+        assert test_main([
+            "--root_path", os.path.join("/tmp", root), "--model", "unet",
+            "--num_classes", "4", "--patch_size", "32", "32",
+            "--split", "val", "--checkpoint", snap, "--ckpt_name", name,
+        ]) == 0
 
 
 def test_weak_trainer_pce_only_ablation(tmp_path):
