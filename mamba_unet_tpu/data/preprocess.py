@@ -30,8 +30,14 @@ def convert_case(
     case_name: str,
     out_dir: str,
     write_slices: bool = True,
+    scribble_path: Optional[str] = None,
 ) -> int:
-    """Convert one (image, label) nii.gz pair; returns number of slices."""
+    """Convert one (image, label[, scribble]) nii.gz set; returns slice count.
+
+    ``scribble_path`` carries the ACDC-scribble annotation of Valvano et al.
+    (WSL4MIS layout, ``*_scribble.nii.gz``: classes 0..3 sparse, 4 =
+    unlabeled) into a ``scribble`` h5 dataset — the training key of
+    ``--method weak_scribble`` (``SliceDataset(sup_type="scribble")``)."""
     image, _ = read_nifti(image_path)
     label, _ = read_nifti(label_path)
     image = normalize_minmax(image)
@@ -39,11 +45,18 @@ def convert_case(
     # nii is (X, Y, Z); the h5 layout is (Z, H, W) like the reference's
     image = np.transpose(image, (2, 0, 1))
     label = np.transpose(label, (2, 0, 1))
+    scribble = None
+    if scribble_path is not None:
+        scribble, _ = read_nifti(scribble_path)
+        scribble = np.transpose(np.asarray(scribble).astype(np.uint8),
+                                (2, 0, 1))
 
     os.makedirs(os.path.join(out_dir, "data", "slices"), exist_ok=True)
     with h5py.File(os.path.join(out_dir, "data", f"{case_name}.h5"), "w") as f:
         f.create_dataset("image", data=image, compression="gzip")
         f.create_dataset("label", data=label, compression="gzip")
+        if scribble is not None:
+            f.create_dataset("scribble", data=scribble, compression="gzip")
     if write_slices:
         for i in range(image.shape[0]):
             p = os.path.join(out_dir, "data", "slices",
@@ -51,6 +64,9 @@ def convert_case(
             with h5py.File(p, "w") as f:
                 f.create_dataset("image", data=image[i], compression="gzip")
                 f.create_dataset("label", data=label[i], compression="gzip")
+                if scribble is not None:
+                    f.create_dataset("scribble", data=scribble[i],
+                                     compression="gzip")
     return image.shape[0]
 
 
@@ -59,15 +75,20 @@ def convert_acdc(raw_dir: str, out_dir: str) -> None:
     images = sorted(
         p for p in glob.glob(os.path.join(raw_dir, "**", "*frame*.nii.gz"),
                              recursive=True)
-        if "_gt" not in p
+        if "_gt" not in os.path.basename(p)
+        and "_scribble" not in os.path.basename(p)
     )
     slice_ids, case_ids = [], []
     for img in images:
         gt = img.replace(".nii.gz", "_gt.nii.gz")
         if not os.path.exists(gt):
             continue
+        # ACDC-scribble (WSL4MIS) ships *_scribble.nii.gz next to *_gt
+        scrib = img.replace(".nii.gz", "_scribble.nii.gz")
         case = os.path.basename(img).replace(".nii.gz", "")
-        n = convert_case(img, gt, case, out_dir)
+        n = convert_case(img, gt, case, out_dir,
+                         scribble_path=scrib if os.path.exists(scrib)
+                         else None)
         case_ids.append(case)
         slice_ids += [f"{case}_slice_{i}" for i in range(n)]
     with open(os.path.join(out_dir, "train_slices.list"), "w") as f:

@@ -78,3 +78,31 @@ def test_cli_test_stacked_denoiser(tmp_path, rng):
     assert result["per_case_denoised"].shape == (1, 3, 3)
     assert np.isfinite(result["mean"]).all()
     assert np.isfinite(result["mean_denoised"]).all()
+
+
+def test_preprocess_scribble_tree(tmp_path, rng):
+    """convert_acdc picks up WSL4MIS *_scribble.nii.gz files: scribble lands
+    in the h5s, and the scribble nii is NOT mistaken for an image frame."""
+    import h5py
+
+    from mamba_unet_tpu.data.preprocess import convert_acdc
+
+    raw = tmp_path / "raw" / "patient001"
+    raw.mkdir(parents=True)
+    img = rng.uniform(0, 500, size=(12, 14, 3)).astype(np.float32)
+    lab = rng.integers(0, 4, size=(12, 14, 3)).astype(np.uint8)
+    scr = np.full((12, 14, 3), 4, np.uint8)
+    scr[4:6, 4:8] = 1
+    write_nifti(str(raw / "patient001_frame01.nii.gz"), img)
+    write_nifti(str(raw / "patient001_frame01_gt.nii.gz"), lab)
+    write_nifti(str(raw / "patient001_frame01_scribble.nii.gz"), scr)
+    out = str(tmp_path / "out")
+    convert_acdc(str(tmp_path / "raw"), out)
+
+    with open(os.path.join(out, "all_cases.list")) as f:
+        assert f.read().split() == ["patient001_frame01"]
+    with h5py.File(os.path.join(out, "data", "slices",
+                                "patient001_frame01_slice_0.h5")) as f:
+        np.testing.assert_array_equal(np.asarray(f["scribble"]), scr[:, :, 0])
+    with h5py.File(os.path.join(out, "data", "patient001_frame01.h5")) as f:
+        assert f["scribble"].shape == (3, 12, 14)

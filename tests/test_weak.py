@@ -164,3 +164,53 @@ def test_weak_trainer_pce_only_ablation(tmp_path):
     )
     assert float(logs["loss_pseudo_dice"]) == 0.0
     assert np.isfinite(float(logs["loss_total"]))
+
+
+def test_weak_trainer_trio_resume(tmp_path):
+    """Kill-and-resume of the three-model state: a fresh trainer with
+    resume=True must pick up step/params/opt_state for all three nets."""
+    from mamba_unet_tpu.data import (
+        EpochShuffleSampler,
+        Loader,
+        RandomGenerator,
+        SliceDataset,
+        make_synthetic_acdc,
+    )
+    from mamba_unet_tpu.models import net_factory
+    from mamba_unet_tpu.train import TrainConfig
+    from mamba_unet_tpu.train.weak import WeakScribbleTrainer
+
+    root = make_synthetic_acdc(str(tmp_path / "ds"), n_train_cases=2,
+                               slices_per_case=4, n_val_cases=0, size=32,
+                               scribble=True)
+    snap = str(tmp_path / "snap")
+
+    def make_trainer(max_it, resume):
+        cfg = TrainConfig(base_lr=0.01, max_iterations=max_it, batch_size=8,
+                          patch_size=(32, 32), num_classes=4, eval_every=1000,
+                          snapshot_dir=snap, ckpt_every=2, resume=resume)
+        nets = [net_factory("unet", num_classes=4) for _ in range(3)]
+        return cfg, WeakScribbleTrainer(nets[0], cfg, model2=nets[1],
+                                        model3=nets[2])
+
+    def loader():
+        ds = SliceDataset(root, sup_type="scribble",
+                          transform=RandomGenerator((32, 32), label_cval=4))
+        return Loader(ds, EpochShuffleSampler(len(ds), 8, seed=0))
+
+    _, tr1 = make_trainer(3, resume=False)
+    r1 = tr1.fit(loader())
+    assert r1["iterations"] == 3
+
+    _, tr2 = make_trainer(5, resume=True)
+    r2 = tr2.fit(loader())
+    # resumed at the step-2 periodic checkpoint, ran 3 more
+    assert r2["iterations"] == 5
+    assert int(jax.device_get(tr2.tri.step)) == 5
+    for s in (tr2.tri.s1, tr2.tri.s2, tr2.tri.s3):
+        leaves = jax.tree_util.tree_leaves(jax.device_get(s.params))
+        assert all(np.isfinite(l).all() for l in leaves)
+    # the continued run wrote the next periodic checkpoint
+    import os
+
+    assert os.path.isdir(os.path.join(snap, "state_4"))
