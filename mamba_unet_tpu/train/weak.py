@@ -136,13 +136,23 @@ class WeakScribbleTrainer(Trainer):
 
     # --- eval for models 2/3 -------------------------------------------
     def _predict_for(self, model, state):
-        @jax.jit
-        def fwd(params, batch_stats, x):
-            v = {"params": params}
-            if batch_stats:
-                v["batch_stats"] = batch_stats
-            out = model.apply(v, x)
-            return out[0] if isinstance(out, (tuple, list)) else out
+        # cache one jitted forward per model (mirrors Trainer._predict) so
+        # the every-eval call doesn't retrace
+        fwd = self._predict_cache.get(id(model)) if hasattr(
+            self, "_predict_cache") else None
+        if fwd is None:
+            if not hasattr(self, "_predict_cache"):
+                self._predict_cache = {}
+
+            @jax.jit
+            def fwd(params, batch_stats, x):
+                v = {"params": params}
+                if batch_stats:
+                    v["batch_stats"] = batch_stats
+                out = model.apply(v, x)
+                return out[0] if isinstance(out, (tuple, list)) else out
+
+            self._predict_cache[id(model)] = fwd
 
         return lambda x: fwd(state.params, state.batch_stats, x)
 
