@@ -19,6 +19,12 @@ from mamba_unet_tpu.parallel.tp_scan import (
     channel_sharding,
     selective_scan_tp_sharded,
 )
+from mamba_unet_tpu.parallel.pipeline import (
+    pipeline_blocks,
+    pipeline_lm_apply,
+    pipeline_lm_loss,
+    stack_layer_params,
+)
 
 __all__ = [
     "make_mesh",
@@ -29,4 +35,8 @@ __all__ = [
     "sequence_sharding",
     "selective_scan_tp_sharded",
     "channel_sharding",
+    "pipeline_blocks",
+    "pipeline_lm_apply",
+    "pipeline_lm_loss",
+    "stack_layer_params",
 ]
