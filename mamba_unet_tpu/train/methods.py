@@ -351,11 +351,15 @@ class CrossTeachingTrainer(Trainer):
         import time
 
         from mamba_unet_tpu.train.trainer import log
-        from mamba_unet_tpu.utils import save_checkpoint
+        from mamba_unet_tpu.utils import save_best_marks, save_checkpoint
 
         cfg = self.config
-        best_dice = 0.0   # model 1 (the headline)
-        best_dice2 = 0.0  # model 2
+        # model 1 (the headline) / model 2 high-water marks; persisted in the
+        # best_marks.json sidecar so resume can't overwrite a better lineage
+        best_dice, best_dice2 = (
+            self._load_best_marks(("best", "best2")) if cfg.resume
+            else (0.0, 0.0)
+        )
         history = []
         it = it0 = self.try_resume()
         t0 = time.time()
@@ -389,6 +393,7 @@ class CrossTeachingTrainer(Trainer):
                              "batch_stats": self.cross.s1.batch_stats},
                             name="best",
                         )
+                        save_best_marks(cfg.snapshot_dir, {"best": best_dice})
                 if dice2 > best_dice2:
                     best_dice2 = dice2
                     if cfg.snapshot_dir:
@@ -398,6 +403,8 @@ class CrossTeachingTrainer(Trainer):
                              "batch_stats": self.cross.s2.batch_stats},
                             name="best2",
                         )
+                        save_best_marks(cfg.snapshot_dir,
+                                        {"best2": best_dice2})
             if cfg.snapshot_dir and it % cfg.ckpt_every == 0:
                 save_checkpoint(cfg.snapshot_dir, it, self._periodic_tree())
         return {"best_dice": best_dice, "best_dice2": best_dice2,

@@ -33,7 +33,7 @@ from mamba_unet_tpu.objectives import supervised_ce_dice
 from mamba_unet_tpu.parallel import batch_sharding, make_mesh, replicated
 from mamba_unet_tpu.train.optim import poly_lr, poly_sgd
 from mamba_unet_tpu.train.state import TrainState, create_train_state
-from mamba_unet_tpu.utils import save_checkpoint
+from mamba_unet_tpu.utils import save_best_marks, save_checkpoint
 
 log = logging.getLogger("mamba_unet_tpu")
 
@@ -167,10 +167,27 @@ class Trainer:
         return mean_dice
 
     # --- resume ----------------------------------------------------------
+    def _periodic_tree(self) -> Dict[str, Any]:
+        """The pytree saved every ``ckpt_every`` and restored by resume.
+        EMA-teacher methods extend it with ``ema_params`` — the reference's
+        rich checkpoint carries the full method state the same way
+        (util.py:54-94 ``save_checkpoint_4_2C``)."""
+        tree = {"params": self.state.params,
+                "batch_stats": self.state.batch_stats,
+                "opt_state": self.state.opt_state,
+                "step": self.state.step}
+        if self.state.ema_params is not None:
+            tree["ema_params"] = self.state.ema_params
+        return tree
+
     def try_resume(self) -> int:
         """Restore the newest periodic checkpoint (params/batch_stats/
-        opt_state/step) from snapshot_dir; returns the restored step or 0.
-        The reference's restore_model latest-ckpt scan (util.py:96-131)."""
+        opt_state/step, + ema_params for EMA-teacher methods) from
+        snapshot_dir; returns the restored step or 0. The reference's
+        restore_model latest-ckpt scan (util.py:96-131). Legacy periodic
+        checkpoints written before ema_params was part of the tree restore
+        with the teacher RE-SEEDED from the restored student (correct up to
+        EMA lag — far better than the random teacher a fresh init gives)."""
         from mamba_unet_tpu.utils import latest_step, restore_checkpoint
 
         cfg = self.config
@@ -179,21 +196,40 @@ class Trainer:
         step = latest_step(cfg.snapshot_dir)
         if step is None:
             return 0
-        target = {"params": self.state.params,
-                  "batch_stats": self.state.batch_stats,
-                  "opt_state": self.state.opt_state,
-                  "step": self.state.step}
-        restored = restore_checkpoint(cfg.snapshot_dir, step, target)
+        target = self._periodic_tree()
+        try:
+            restored = restore_checkpoint(cfg.snapshot_dir, step, target)
+        except Exception:
+            if "ema_params" not in target:
+                raise
+            legacy = {k: v for k, v in target.items() if k != "ema_params"}
+            restored = restore_checkpoint(cfg.snapshot_dir, step, legacy)
+            restored["ema_params"] = jax.tree_util.tree_map(
+                jnp.copy, restored["params"]
+            )
+            log.warning(
+                "periodic checkpoint at step %d predates ema_params; "
+                "re-seeding the EMA teacher from the restored student", step
+            )
         self.state = self.state.replace(**restored)
         log.info("resumed from %s @ step %d", cfg.snapshot_dir, step)
         return step
 
+    def _load_best_marks(self, names=("best",)):
+        """Best-Dice high-water marks from the sidecar (0.0 when absent) —
+        so a resumed run cannot overwrite a better ``best_*`` lineage."""
+        from mamba_unet_tpu.utils import load_best_marks
+
+        marks = (load_best_marks(self.config.snapshot_dir)
+                 if self.config.snapshot_dir else {})
+        return [float(marks.get(n, 0.0)) for n in names]
+
     # --- the loop ------------------------------------------------------
     def fit(self, train_loader, val_dataset=None) -> Dict[str, Any]:
         cfg = self.config
-        best_dice = 0.0
         history = []
         it = it0 = self.try_resume()
+        (best_dice,) = self._load_best_marks() if it0 else (0.0,)
         tb = None
         if cfg.tensorboard and cfg.snapshot_dir:
             from mamba_unet_tpu.utils.experiment import TensorboardLogger
@@ -239,14 +275,9 @@ class Trainer:
                              "batch_stats": self.state.batch_stats},
                             name="best",
                         )
+                        save_best_marks(cfg.snapshot_dir, {"best": best_dice})
             if cfg.snapshot_dir and it % cfg.ckpt_every == 0:
-                save_checkpoint(
-                    cfg.snapshot_dir, it,
-                    {"params": self.state.params,
-                     "batch_stats": self.state.batch_stats,
-                     "opt_state": self.state.opt_state,
-                     "step": self.state.step},
-                )
+                save_checkpoint(cfg.snapshot_dir, it, self._periodic_tree())
         if tb is not None:
             tb.close()
         return {"best_dice": best_dice, "iterations": it, "history": history}

@@ -37,24 +37,10 @@ from mamba_unet_tpu.objectives import (
     cross_entropy_loss,
     dice_loss_from_labels,
 )
+from mamba_unet_tpu.train.methods import _apply_train, _main_head
 from mamba_unet_tpu.train.optim import poly_sgd
 from mamba_unet_tpu.train.state import TrainState, create_train_state
 from mamba_unet_tpu.train.trainer import TrainConfig, Trainer
-
-
-def _apply_train(model, variables, x, rng):
-    mutable = ["batch_stats"] if "batch_stats" in variables else []
-    out = model.apply(
-        variables, x, deterministic=False, rngs={"dropout": rng}, mutable=mutable
-    )
-    if mutable:
-        logits, upd = out
-        return logits, upd["batch_stats"]
-    return out, None
-
-
-def _main_head(logits):
-    return logits[0] if isinstance(logits, (tuple, list)) else logits
 
 
 class TriState(struct.PyTreeNode):
@@ -214,11 +200,13 @@ class WeakScribbleTrainer(Trainer):
         import time
 
         from mamba_unet_tpu.train.trainer import log
-        from mamba_unet_tpu.utils import save_checkpoint
+        from mamba_unet_tpu.utils import save_best_marks, save_checkpoint
 
         cfg = self.config
-        best = [0.0, 0.0, 0.0]
         names = ("best", "best2", "best3")
+        # per-network high-water marks, persisted across kill-and-resume in
+        # the best_marks.json sidecar
+        best = self._load_best_marks(names) if cfg.resume else [0.0, 0.0, 0.0]
         history = []
         it = it0 = self.try_resume()
         t0 = time.time()
@@ -257,6 +245,7 @@ class WeakScribbleTrainer(Trainer):
                              "batch_stats": states[i].batch_stats},
                             name=names[i],
                         )
+                        save_best_marks(cfg.snapshot_dir, {names[i]: d})
                     best[i] = max(best[i], d)
             if cfg.snapshot_dir and it % cfg.ckpt_every == 0:
                 save_checkpoint(cfg.snapshot_dir, it, self._periodic_tree())

@@ -1,6 +1,19 @@
 """Utilities: checkpointing, logging, config."""
 
-from mamba_unet_tpu.utils.checkpoint import save_checkpoint, restore_checkpoint, latest_step
+from mamba_unet_tpu.utils.checkpoint import (
+    latest_step,
+    load_best_marks,
+    restore_checkpoint,
+    save_best_marks,
+    save_checkpoint,
+)
 from mamba_unet_tpu.utils.sdf import compute_sdf
 
-__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step", "compute_sdf"]
+__all__ = [
+    "save_checkpoint",
+    "restore_checkpoint",
+    "latest_step",
+    "save_best_marks",
+    "load_best_marks",
+    "compute_sdf",
+]

@@ -8,8 +8,9 @@ ckpt + periodic iter ckpts) with orbax pytree checkpoints under
 
 from __future__ import annotations
 
+import json
 import os
-from typing import Any, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import orbax.checkpoint as ocp
@@ -48,3 +49,42 @@ def restore_checkpoint(
     path = os.path.abspath(os.path.join(directory, f"{name}_{step}"))
     ckptr = _checkpointer()
     return ckptr.restore(path, target)
+
+
+_BEST_MARKS_FILE = "best_marks.json"
+
+
+def save_best_marks(directory: str, marks: Dict[str, float]) -> str:
+    """Merge ``marks`` into {directory}/best_marks.json, atomically.
+
+    The sidecar persists each best-metric high-water mark (keyed by the
+    best-checkpoint name: ``best``/``best2``/``best3``) across kill-and-
+    resume, so a resumed run cannot overwrite a better ``best_*`` lineage —
+    the role of ``best_performance`` in the reference's rich checkpoint
+    (``/root/reference/code/utils/util.py:54-94`` ``save_checkpoint_4_2C``,
+    restored by ``train_Semi_Contrastive_Consistency.py:328-357``).
+    Atomic via write-to-temp + ``os.replace`` so a kill mid-write leaves the
+    previous marks intact.
+    """
+    os.makedirs(directory, exist_ok=True)
+    path = os.path.join(directory, _BEST_MARKS_FILE)
+    merged = load_best_marks(directory)
+    merged.update({k: float(v) for k, v in marks.items()})
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(merged, f, indent=1, sort_keys=True)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return path
+
+
+def load_best_marks(directory: str) -> Dict[str, float]:
+    """Read the best-marks sidecar; {} when absent or unreadable."""
+    path = os.path.join(directory, _BEST_MARKS_FILE)
+    try:
+        with open(path) as f:
+            got = json.load(f)
+        return {str(k): float(v) for k, v in got.items()}
+    except (OSError, ValueError):
+        return {}
