@@ -42,9 +42,11 @@ def build_parser():
                    help="orbax snapshot dir of the denoiser (e.g. a "
                         "mad_pretrain run)")
     p.add_argument("--ckpt_name", type=str, default=None,
-                   help="checkpoint name prefix to load (default: 'best', "
-                        "falling back to 'state'); multi-model trainers "
-                        "save per-network bests as best/best2/best3")
+                   help="checkpoint name prefix to load from the MAIN "
+                        "snapshot only (default: 'best', falling back to "
+                        "'state'); multi-model trainers save per-network "
+                        "bests as best/best2/best3. The denoiser snapshot "
+                        "always loads its own 'best' (fallback 'state')")
     return p
 
 
@@ -70,14 +72,17 @@ def run_inference(args) -> dict:
     from mamba_unet_tpu.utils import latest_step, restore_checkpoint
     from scipy.ndimage import zoom as nd_zoom
 
-    def build(name, in_ch, ckpt):
+    def build(name, in_ch, ckpt, ckpt_name=None):
+        """Build a net + load its snapshot. ``ckpt_name`` selects a member
+        of THIS snapshot only — ``--ckpt_name best2`` must not leak into the
+        denoiser load (which always takes its own 'best'/'state')."""
         m = net_factory(name, num_classes=args.num_classes)
         smp = jnp.zeros((1, *args.patch_size, in_ch), jnp.float32)
         v = jax.jit(m.init)(jax.random.key(0), smp)
         if ckpt:
-            nm = args.ckpt_name or "best"
+            nm = ckpt_name or "best"
             step = latest_step(ckpt, nm)
-            if step is None and args.ckpt_name is None:
+            if step is None and ckpt_name is None:
                 nm = "state"
                 step = latest_step(ckpt)
             assert step is not None, f"no '{nm}' checkpoint under {ckpt}"
@@ -89,7 +94,7 @@ def run_inference(args) -> dict:
                 v["batch_stats"] = restored["batch_stats"]
         return m, v
 
-    model, variables = build(args.model, 1, args.checkpoint)
+    model, variables = build(args.model, 1, args.checkpoint, args.ckpt_name)
     den_model = den_variables = None
     if args.denoiser_model:
         den_model, den_variables = build(
@@ -103,11 +108,15 @@ def run_inference(args) -> dict:
         return _main(model.apply(variables, x))
 
     @jax.jit
-    def fwd_stacked(x):
+    def fwd_both(x):
         # the reference stacking: argmax(den(softmax(seg(x)))) —
-        # val_2D.test_single_volume_for_trainLabel
-        soft = jax.nn.softmax(_main(model.apply(variables, x)), axis=-1)
-        return _main(den_model.apply(den_variables, soft))
+        # val_2D.test_single_volume_for_trainLabel. One seg pass feeds both
+        # the raw-seg and the denoised metric tables (the seg forward
+        # dominates; running it twice per case doubled the test wall-clock).
+        seg = _main(model.apply(variables, x))
+        den = _main(den_model.apply(den_variables,
+                                    jax.nn.softmax(seg, axis=-1)))
+        return seg, den
 
     def case_metrics(pred, label):
         metrics = []
@@ -134,7 +143,13 @@ def run_inference(args) -> dict:
             slices = np.concatenate(
                 [slices, np.zeros((pad, *slices.shape[1:]), np.float32)]
             )
-        logits = np.asarray(fwd(slices))[:z]
+        if den_model is not None:
+            seg_logits, den_logits = fwd_both(slices)
+            logits = np.asarray(seg_logits)[:z]
+            den_logits = np.asarray(den_logits)[:z]
+        else:
+            logits = np.asarray(fwd(slices))[:z]
+            den_logits = None
         pred_small = np.argmax(logits, axis=-1)
 
         def upsample(pred_s):
@@ -149,8 +164,7 @@ def run_inference(args) -> dict:
         logging.info("%s: dice %s", case["case"],
                      [round(m[0], 4) for m in metrics])
 
-        if den_model is not None:
-            den_logits = np.asarray(fwd_stacked(slices))[:z]
+        if den_logits is not None:
             den_pred = upsample(np.argmax(den_logits, axis=-1))
             dm = case_metrics(den_pred, label)
             per_case_den.append(dm)
