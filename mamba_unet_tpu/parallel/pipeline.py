@@ -99,6 +99,16 @@ def pipeline_blocks(
             x0 = jax.lax.dynamic_index_in_dim(x_all, mb_in, 0,
                                               keepdims=False)
             h = jnp.where(idx == 0, x0, h_recv)
+            # Dead-lane hygiene: stage `idx` holds a REAL activation at tick
+            # t only for 0 <= t - idx < M (warm-up ticks and the t >= M
+            # re-injected microbatch are wavefront filler). Dead lanes still
+            # run the real params, and a non-finite intermediate there (e.g.
+            # exp/softplus overflow on stale activations under bf16) would
+            # leak NaN into parameter grads through the 0*inf VJP of the
+            # where-masked path even though the forward output is correct —
+            # so dead inputs are pinned to zeros, a known-safe value.
+            live = (t >= idx) & (t - idx < M)
+            h = jnp.where(live, h, jnp.zeros_like(h))
             y = run_stage(h)
             # stage S-1's output at tick t is microbatch t-(S-1)'s result
             out_t = t - (S - 1)
@@ -149,8 +159,17 @@ def pipeline_lm_apply(
     """``MambaLMHeadModel.__call__`` with the block stack pipelined over
     ``axis``. Semantically identical to ``model.apply(variables, input_ids)``
     (same per-layer math, microbatching only re-batches the row dimension);
-    returns fp32 logits ``(B, L, padded_vocab)``."""
-    del deterministic  # blocks run deterministic inside the pipeline
+    returns fp32 logits ``(B, L, padded_vocab)``.
+
+    ``deterministic`` must stay True: the pipelined blocks always run
+    without dropout (threading per-tick RNG through the wavefront is not
+    implemented), so silently accepting False would hand callers
+    deterministic behavior they didn't ask for."""
+    if not deterministic:
+        raise ValueError(
+            "pipeline_lm_apply only supports deterministic=True — the "
+            "pipelined block stack runs without dropout"
+        )
     from mamba_unet_tpu.nn.mamba1d import MambaBlock
 
     block = MambaBlock(
