@@ -124,8 +124,13 @@ class LMEvaluator:
         ``gen_kwargs`` keys ``until`` (list of stop-token-id sequences),
         ``max_gen_toks`` (default 128), ``temperature``/``top_k``/``top_p``
         (default greedy). Returns the generated token ids per request,
-        truncated BEFORE the first stop-sequence occurrence. Contexts are
-        left-padded per length bucket so the compiled program is reused."""
+        truncated BEFORE the first stop-sequence occurrence.
+
+        Requests run one at a time at their NATIVE context length: an SSM
+        cannot left-pad — pad tokens would flow through the recurrent state
+        and corrupt it. Compilation is amortized by jit's shape cache
+        instead (one compile per distinct (context_len, max_new) pair, hits
+        thereafter), backed by the persistent compilation cache on disk."""
         import jax.numpy as jnp
 
         from mamba_unet_tpu.models.mamba_lm import generate

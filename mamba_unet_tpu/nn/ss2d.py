@@ -203,6 +203,19 @@ class SS2D(nn.Module):
             self.scan_impl in ("folded", "hwbc_folded")
             or (hwbc and self.scan_impl == "auto" and d_inner % 128 != 0)
         )
+        if self.scan_impl in ("folded", "hwbc_folded") and not foldable:
+            # trace-time heads-up, not an error: `init` at batch 1
+            # legitimately traces unfoldable shapes, but a MEASUREMENT run
+            # that silently fell through to the bidir/XLA path would time
+            # the wrong kernel.
+            import warnings
+
+            warnings.warn(
+                f"scan_impl={self.scan_impl!r} requested but batch*d_inner="
+                f"{bsz}*{d_inner}={bsz * d_inner} is not 128-aligned; this "
+                "trace falls back to the bidir/XLA scan path",
+                stacklevel=2,
+            )
         use_bidir = not use_folded and (
             self.scan_impl in ("auto", "bidir", "hwbc_folded")
         ) and (self.scan_impl == "bidir" or ssp.on_tpu())

@@ -50,6 +50,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+# NB: every public `chunk` parameter below is an UPPER BOUND on the L-chunk,
+# not the chunk itself: _cap_chunk takes min(chunk, L, VMEM cap, _LC_DEFAULT)
+# — and _LC_DEFAULT (env MAMBA_SCAN_LC, default 16) normally binds, because
+# the r3 sweep measured fwd/grad flat in Lc from 16..96 and the smallest
+# legal chunk wins on VMEM and compile time. Raise MAMBA_SCAN_LC to make a
+# larger `chunk` take effect.
 DEFAULT_CHUNK = 128
 # VMEM is ~16 MB/core on v5e. Round 3: the fwd/bwd epilogues are chunked
 # into static 16-step sub-ranges (_EPI_QUARTER), capping the fp32 stack
@@ -847,7 +853,10 @@ def selective_scan_pallas(
     chunk: int = DEFAULT_CHUNK,
     interpret: Optional[bool] = None,
 ):
-    """Drop-in for ``selective_scan`` on TPU. Shapes as in selective_scan.py."""
+    """Drop-in for ``selective_scan`` on TPU. Shapes as in selective_scan.py.
+    ``chunk`` is an upper bound on the L-chunk (see the module-level note at
+    DEFAULT_CHUNK): the tile picker caps it at min(chunk, L, VMEM budget,
+    MAMBA_SCAN_LC [default 16], the measured optimum)."""
     if interpret is None:
         interpret = not on_tpu()
     out_dtype = u.dtype
