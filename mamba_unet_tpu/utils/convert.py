@@ -68,6 +68,28 @@ def torch_key_for(path: Tuple[str, ...]) -> Optional[Tuple[str, str]]:
 
     def block_map(tprefix: str, rest: List[str]):
         sub = rest[0]
+        # --- Swin blocks (nn/swin.py SwinBlock <-> the reference
+        # swin_transformer_unet_skip_expand_decoder_sys.py:169-307) ---
+        if sub in ("norm1", "norm2"):
+            return ln(f"{tprefix}.{sub}")
+        if sub == "attn":
+            tp = f"{tprefix}.attn"
+            if len(rest) == 1:
+                if leaf == "relative_position_bias_table":
+                    return f"{tp}.relative_position_bias_table", "raw"
+                return None
+            inner = rest[1]
+            if inner in ("qkv", "proj"):
+                if leaf == "kernel":
+                    return f"{tp}.{inner}.weight", "linear"
+                return f"{tp}.{inner}.bias", "raw"
+            return None
+        if sub in ("mlp_fc1", "mlp_fc2"):
+            fc = "fc1" if sub == "mlp_fc1" else "fc2"
+            if leaf == "kernel":
+                return f"{tprefix}.mlp.{fc}.weight", "linear"
+            return f"{tprefix}.mlp.{fc}.bias", "raw"
+        # --- VSS blocks (nn/vss.py <-> mamba_sys.py:543-560) ---
         if sub == "ln_1":
             return ln(f"{tprefix}.ln_1")
         if sub == "self_attention":
@@ -209,6 +231,12 @@ def convert_vssm(
         print(f"loaded {len(loaded)}, missing {len(missing)}, "
               f"shape-skipped {len(skipped_shape)}")
     return new_params, report
+
+
+# The key map above covers Swin-UNet blocks too (same topology, same
+# patch-ops/decoder naming; only the block internals differ) — so Swin
+# conversion IS convert_vssm. Named alias for call-site clarity.
+convert_swin_unet = convert_vssm
 
 
 def load_torch_checkpoint(path: str) -> Dict[str, np.ndarray]:
