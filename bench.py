@@ -175,12 +175,18 @@ def main() -> None:
     slices_per_sec = n_steps * batch_size / dt
 
     extra = {}
-    if "--e2e" in sys.argv:
-        e2e = bench_e2e(trainer, batch_size, patch)
-        extra = {
-            "e2e_slices_per_sec": round(e2e, 2),
-            "e2e_gap_pct": round(100.0 * (1 - e2e / slices_per_sec), 1),
-        }
+    # e2e (loader-fed) throughput ships in the driver artifact by DEFAULT
+    # (VERDICT r3 task 4): opt OUT with --no_e2e for quick step-only runs.
+    # Never let an e2e failure break the primary metric.
+    if "--no_e2e" not in sys.argv:
+        try:
+            e2e = bench_e2e(trainer, batch_size, patch)
+            extra = {
+                "e2e_slices_per_sec": round(e2e, 2),
+                "e2e_gap_pct": round(100.0 * (1 - e2e / slices_per_sec), 1),
+            }
+        except Exception as e:  # pragma: no cover
+            extra = {"e2e_error": repr(e)[:120]}
 
     # the reference's other two headline models (same anchor); never let a
     # companion failure break the primary metric
