@@ -37,11 +37,12 @@ def _fwd_kernel(
     u_hbm, d_hbm, B_hbm, C_hbm,   # ANY (HBM residents)
     y_hbm,                        # ANY output
     xcarry, a_s, xs_s,            # VMEM scratch
-    *, nck, Lc, unroll,
+    *, nck, Lc, unroll, n_real,
 ):
     b, g = pl.program_id(0), pl.program_id(1)
     bt = a_s.shape[0]
-    n = A_ref.shape[1]
+    n_load = B_hbm.shape[-1]      # n_real, or 128 in the padded layout
+    n = n_real
     dg = a_s.shape[-1]
     A = A_ref[0]                                      # (n, dg)
     xcarry[:] = jnp.zeros_like(xcarry)
@@ -52,7 +53,7 @@ def _fwd_kernel(
         dlt = jax.nn.softplus(raw)
         du = dlt * u
         a_s[:] = jnp.exp(dlt[:, :, None, :] * A[None, None]).astype(a_s.dtype)
-        Bc = B_ref[:, 0].astype(jnp.float32)          # (bt, Lc, n)
+        Bc = B_ref[:, 0, :, :n].astype(jnp.float32)   # (bt, Lc, n)
         xs_s[:] = (Bc[..., None] * du[:, :, None, :]).astype(xs_s.dtype)
 
         x = xcarry[:]
@@ -65,12 +66,12 @@ def _fwd_kernel(
             return x
         xcarry[:] = jax.lax.fori_loop(0, Lc // unroll, step, x)
 
-        Cc = C_ref[:, 0].astype(jnp.float32)
+        Cc = C_ref[:, 0, :, :n].astype(jnp.float32)
         y = jnp.sum(Cc[..., None] * xs_s[:].astype(jnp.float32), axis=2)
         y_ref[:, 0] = (y + Dsk_ref[0][None] * u).astype(y_ref.dtype)
 
     spec_d = pl.BlockSpec((bt, 1, Lc, dg), lambda ck: (b, g, ck, 0))
-    spec_n = pl.BlockSpec((bt, 1, Lc, n), lambda ck: (b, g, ck, 0))
+    spec_n = pl.BlockSpec((bt, 1, Lc, n_load), lambda ck: (b, g, ck, 0))
     pltpu.emit_pipeline(
         inner,
         grid=(nck,),
@@ -80,14 +81,17 @@ def _fwd_kernel(
 
 
 def persistent_fwd(u, delta, A_t, Bm, Cm, Dsk, db, *, btile, Lc, unroll=4,
-                   interpret=False):
+                   n_real=None, interpret=False):
     bsz, G, L, dg = u.shape
-    n = A_t.shape[1]
+    n = A_t.shape[1] if n_real is None else n_real
     assert L % Lc == 0
+    while Lc % unroll:   # the in-kernel loop covers unroll*(Lc//unroll) steps
+        unroll -= 1
     nck = L // Lc
     io = u.dtype
     grid = (bsz // btile, G)
-    kernel = functools.partial(_fwd_kernel, nck=nck, Lc=Lc, unroll=unroll)
+    kernel = functools.partial(_fwd_kernel, nck=nck, Lc=Lc, unroll=unroll,
+                               n_real=n)
     y = pl.pallas_call(
         kernel,
         grid=grid,
@@ -114,6 +118,37 @@ def persistent_fwd(u, delta, A_t, Bm, Cm, Dsk, db, *, btile, Lc, unroll=4,
     return y
 
 
+def _pad_lanes(x, to):
+    """Zero-pad the last (lane) dim to ``to`` — the 128-aligned re-layout
+    that makes tpu.memref_slice legal (VERDICT r3 task 3). In production
+    this padding is free at source: in_proj/x_proj einsums can emit
+    128-aligned outputs natively by padding weight columns."""
+    pad = to - x.shape[-1]
+    if pad <= 0:
+        return x
+    cfg = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    return jnp.pad(x, cfg)
+
+
+def persistent_fwd_padded(u, delta, A_t, Bm, Cm, Dsk, db, *, btile, Lc,
+                          unroll=4, interpret=False):
+    """The 128-aligned variant: dg padded up to the next 128 multiple
+    (192->256 at stage0: +33% slab lanes), B/C padded 16->128 lanes (8x B/C
+    bytes). Padded delta lanes see A=0, u=0 => state stays 0, y=0: sliced
+    off at the end. Padding cost is INSIDE the jitted timed region (honest
+    end-to-end), but see _pad_lanes on why production could emit it free."""
+    bsz, G, L, dg = u.shape
+    n = A_t.shape[-2]
+    dgp = -(-dg // 128) * 128
+    y = persistent_fwd(
+        _pad_lanes(u, dgp), _pad_lanes(delta, dgp), _pad_lanes(A_t, dgp),
+        _pad_lanes(Bm, 128), _pad_lanes(Cm, 128),
+        _pad_lanes(Dsk, dgp), _pad_lanes(db, dgp),
+        btile=btile, Lc=Lc, unroll=unroll, n_real=n, interpret=interpret,
+    )
+    return y[..., :dg]
+
+
 def sync(x):
     return float(jnp.sum(x[..., -1, :].astype(jnp.float32)))
 
@@ -135,7 +170,11 @@ def main():
     print(f"backend={jax.default_backend()} interpret={interpret}")
     rng = np.random.default_rng(0)
 
-    shapes = ((24, 4, 3136, 192, 16), (24, 4, 784, 384, 16)) if on_tpu \
+    # the four VSS stage shapes of the flagship (224² patch4, expand 2):
+    # L = 3136/784/196/49, d_inner = 192/384/768/1536 — only stage0's dg
+    # is not 128-aligned
+    shapes = ((24, 4, 3136, 192, 16), (24, 4, 784, 384, 16),
+              (24, 4, 196, 768, 16), (24, 4, 49, 1536, 16)) if on_tpu \
         else ((2, 2, 64, 8, 4),)
     for BATCH, K, L, dg, n in shapes:
         dt = jnp.bfloat16 if on_tpu else jnp.float32
@@ -160,23 +199,45 @@ def main():
             None, None, None, True,
         ).reshape(BATCH, K, dg, L).transpose(0, 1, 3, 2)
 
+        # prepad: the padding done OUTSIDE the timed region — what production
+        # would see if in_proj/x_proj emitted 128-aligned lanes natively
+        # (pad weight columns once at init). Measures the persistent
+        # structure's ceiling without the in-region pad traffic.
+        dgp = -(-dg // 128) * 128
+        pre = (_pad_lanes(u, dgp), _pad_lanes(dl, dgp), _pad_lanes(A_t, dgp),
+               _pad_lanes(Bm, 128), _pad_lanes(Cm, 128),
+               _pad_lanes(Dsk, dgp), _pad_lanes(db, dgp))
+
         print(f"=== B{BATCH} K{K} L{L} dg{dg} ===")
-        for btile, Lc in ((8, 16), (8, 32), (8, 64), (24, 16), (24, 32)) \
-                if on_tpu else ((2, 16),):
+        variants = (("raw", persistent_fwd), ("padded", persistent_fwd_padded),
+                    ("prepad", None))
+        for btile, Lc in ((8, 16), (8, 32), (8, 64), (8, 112), (24, 16),
+                          (24, 32), (8, 49), (24, 49)) if on_tpu \
+                else ((2, 16),):
             if L % Lc or BATCH % btile:
                 continue
-            try:
-                f = jax.jit(functools.partial(
-                    persistent_fwd, btile=btile, Lc=Lc, interpret=interpret))
-                got = f(u, dl, A_t, Bm, Cm, Dsk, db)
-                err = float(jnp.abs(got.astype(jnp.float32) - want).max())
-                line = f"  persistent bt={btile} Lc={Lc}  err {err:.1e}"
-                if on_tpu:
-                    line += f"  {timeit(f, u, dl, A_t, Bm, Cm, Dsk, db):7.2f} ms"
-                print(line, flush=True)
-            except Exception as e:  # noqa: BLE001
-                print(f"  persistent bt={btile} Lc={Lc}  FAILED "
-                      f"{type(e).__name__}: {str(e)[:300]}")
+            for vname, vfn in variants:
+                try:
+                    if vname == "prepad":
+                        f = jax.jit(functools.partial(
+                            persistent_fwd, btile=btile, Lc=Lc,
+                            n_real=n, interpret=interpret))
+                        args = pre
+                        got = f(*args)[..., :dg]
+                    else:
+                        f = jax.jit(functools.partial(
+                            vfn, btile=btile, Lc=Lc, interpret=interpret))
+                        args = (u, dl, A_t, Bm, Cm, Dsk, db)
+                        got = f(*args)
+                    err = float(jnp.abs(got.astype(jnp.float32) - want).max())
+                    line = (f"  persistent[{vname}] bt={btile} Lc={Lc}"
+                            f"  err {err:.1e}")
+                    if on_tpu:
+                        line += f"  {timeit(f, *args):7.2f} ms"
+                    print(line, flush=True)
+                except Exception as e:  # noqa: BLE001
+                    print(f"  persistent[{vname}] bt={btile} Lc={Lc}  FAILED "
+                          f"{type(e).__name__}: {str(e)[:300]}", flush=True)
 
         if on_tpu:
             from mamba_unet_tpu.ops import selective_scan_pallas as ssp
