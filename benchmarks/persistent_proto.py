@@ -149,6 +149,451 @@ def persistent_fwd_padded(u, delta, A_t, Bm, Cm, Dsk, db, *, btile, Lc,
     return y[..., :dg]
 
 
+def _kfold_fwd_kernel(
+    A_ref, db_ref, Dsk_ref,       # VMEM (1, n, Dg), (1, 1, Dg), (1, 1, Dg)
+    Wb_ref, Wc_ref,               # VMEM (n, 128, Dg) 0/1 expansion mats
+    u_hbm, d_hbm, bc_hbm,         # ANY (HBM residents)
+    y_hbm,                        # ANY output
+    xcarry, a_s, xs_s,            # VMEM scratch
+    *, nck, Lc, unroll, expansion,
+):
+    """K-FOLDED persistent forward: the direction axis G lives in the LANE
+    dim (Dg = G * dg_padded), so all G scans advance in ONE sequential loop
+    of L steps — G x fewer per-timestep issues at G x the VPU width, and the
+    grid shrinks to batch-tiles only. B/C arrive packed in one 128-lane slab
+    (B at lanes g*n+i, C at 64 + g*n+i) and are expanded per chunk to
+    (n, Dg), by ``expansion``:
+      "matmul": ONE (btLc,128)@(128, n*Dg) dot against a fused 0/1 matrix
+      "reshape": lane->(sublane,lane) reshape + small transpose + broadcast
+      "none": ablation — skips the expansion (WRONG numerics, timing floor)
+    """
+    b = pl.program_id(0)
+    bt = a_s.shape[0]
+    n = A_ref.shape[1]
+    Dg = a_s.shape[-1]
+    A = A_ref[0]                                      # (n, Dg)
+    xcarry[:] = jnp.zeros_like(xcarry)
+
+    G = 128 // (2 * n)  # BC pack: B at g*n+i, C at 64 + g*n+i
+    dgp = Dg // G
+
+    def expand(bc2, which):
+        """(bt*Lc, 128) packed B or C -> (bt, Lc, n, Dg) fp32."""
+        if expansion.split("+")[0] == "matmul":
+            W = Wb_ref if which == "b" else Wc_ref
+            E = jnp.dot(bc2, W[0], preferred_element_type=jnp.float32)
+            return E.reshape(bt, Lc, n, Dg)
+        # "reshape": lane 128 -> (8 sub, 16 lane); rows 0-3 = B_g, 4-7 = C_g
+        bcr = bc2.reshape(bt * Lc, 8, n)
+        rows = bcr[:, :G, :] if which == "b" else bcr[:, 4:4 + G, :]
+        t1 = jnp.swapaxes(rows, 1, 2)                 # (btLc, n, G)
+        E = jnp.broadcast_to(t1[:, :, :, None], (bt * Lc, n, G, dgp))
+        return E.reshape(bt, Lc, n, Dg).astype(jnp.float32)
+
+    def inner(u_ref, d_ref, bc_ref, y_ref):
+        u = u_ref[:].astype(jnp.float32)              # (bt, Lc, Dg)
+        raw = d_ref[:].astype(jnp.float32) + db_ref[0]
+        dlt = jax.nn.softplus(raw)
+        du = dlt * u
+        a_s[:] = jnp.exp(dlt[:, :, None, :] * A[None, None]).astype(a_s.dtype)
+        bc2 = bc_ref[:].reshape(bt * Lc, 128)
+        exp_mode = expansion.split("+")[0]
+        ablate = expansion.split("+")[1:]
+        if exp_mode == "none":    # ablation: timing floor, WRONG numerics
+            xs_s[:] = jnp.broadcast_to(
+                du[:, :, None, :], xs_s.shape).astype(xs_s.dtype)
+        else:
+            xs_s[:] = (expand(bc2, "b") * du[:, :, None, :]).astype(
+                xs_s.dtype)
+
+        x = xcarry[:]
+
+        def step(s, x):
+            for j in range(unroll):
+                t = s * unroll + j
+                x = a_s[:, t].astype(jnp.float32) * x + xs_s[:, t].astype(
+                    jnp.float32)
+                xs_s[:, t] = x.astype(xs_s.dtype)
+            return x
+        if "noloop" not in ablate:
+            x = jax.lax.fori_loop(0, Lc // unroll, step, x)
+        xcarry[:] = x
+
+        if exp_mode == "none" or "noy" in ablate:   # ablation
+            y = jnp.sum(xs_s[:].astype(jnp.float32), axis=2)
+        else:
+            y = jnp.sum(expand(bc2, "c") * xs_s[:].astype(jnp.float32),
+                        axis=2)
+        y_ref[:] = (y + Dsk_ref[0] * u).astype(y_ref.dtype)
+
+    spec_d = pl.BlockSpec((bt, Lc, Dg), lambda ck: (b, ck, 0))
+    spec_bc = pl.BlockSpec((bt, Lc, 128), lambda ck: (b, ck, 0))
+    pltpu.emit_pipeline(
+        inner,
+        grid=(nck,),
+        in_specs=[spec_d, spec_d, spec_bc],
+        out_specs=[spec_d],
+    )(u_hbm, d_hbm, bc_hbm, y_hbm)
+
+
+def _kfold_expansion_mats(G, n, dgp, dtype=jnp.float32):
+    """Wb/Wc (1, 128, n*G*dgp): Wb[0, g*n+i, i*Dg + g*dgp + c] = 1
+    (Wc at packed rows 64 + g*n+i) — the fused expansion so the kernel
+    issues ONE dot per B/C per chunk."""
+    Dg = G * dgp
+    wb = np.zeros((1, 128, n * Dg), np.float32)
+    wc = np.zeros((1, 128, n * Dg), np.float32)
+    for i in range(n):
+        for g in range(G):
+            sl = slice(i * Dg + g * dgp, i * Dg + (g + 1) * dgp)
+            wb[0, g * n + i, sl] = 1.0
+            wc[0, 64 + g * n + i, sl] = 1.0
+    return jnp.asarray(wb, dtype), jnp.asarray(wc, dtype)
+
+
+def kfold_pack(u, delta, A_t, Bm, Cm, Dsk, db):
+    """Fold (B, G, L, dg) -> (B, Lp, G*dgp) layouts + the packed BC slab.
+    L is zero-padded to a multiple of 32 (pad steps: u=0, B=0 => xs=0 and
+    y=0; pads sit AFTER all real steps so the decayed state is never read).
+    In production this layout is emitted at source: cross_scan writes the
+    K direction variants contiguously and in_proj/x_proj pad columns."""
+    bsz, G, L, dg = u.shape
+    n = Bm.shape[-1]
+    dgp = -(-dg // 128) * 128
+    Dg = G * dgp
+    Lp = -(-L // 32) * 32
+
+    def padL(x):
+        if Lp == L:
+            return x
+        cfg = [(0, 0)] * x.ndim
+        cfg[2] = (0, Lp - L)
+        return jnp.pad(x, cfg)
+
+    def fold(x):  # (B, G, L, dg) -> (B, Lp, Dg)
+        xp = padL(_pad_lanes(x, dgp))
+        return xp.transpose(0, 2, 1, 3).reshape(bsz, Lp, Dg)
+
+    def fold_p(x):  # (G, 1, dg) -> (1, 1, Dg)
+        xp = _pad_lanes(x, dgp)
+        return xp.transpose(1, 0, 2).reshape(1, 1, Dg)
+
+    # BC slab (B, Lp, 128): B at lanes g*n+i, C at 64 + g*n+i
+    bc = jnp.zeros((bsz, Lp, 128), Bm.dtype)
+    bc = bc.at[:, :L, :G * n].set(
+        Bm.transpose(0, 2, 1, 3).reshape(bsz, L, G * n))
+    bc = bc.at[:, :L, 64:64 + G * n].set(
+        Cm.transpose(0, 2, 1, 3).reshape(bsz, L, G * n))
+    # A_t (G, n, dg) -> (1, n, Dg)
+    Af = _pad_lanes(A_t, dgp).transpose(1, 0, 2).reshape(1, n, Dg)
+    return fold(u), fold(delta), Af, bc, fold_p(Dsk), fold_p(db), dg, dgp
+
+
+def kfold_fwd(uf, dlf, Af, bc, Dskf, dbf, Wb, Wc, *, btile, Lc, unroll=4,
+              expansion="matmul", interpret=False):
+    bsz, L, Dg = uf.shape
+    n = Af.shape[1]
+    assert L % Lc == 0
+    while Lc % unroll:
+        unroll -= 1
+    nck = L // Lc
+    io = uf.dtype
+    kernel = functools.partial(_kfold_fwd_kernel, nck=nck, Lc=Lc,
+                               unroll=unroll, expansion=expansion)
+    y = pl.pallas_call(
+        kernel,
+        grid=(bsz // btile,),
+        in_specs=[
+            pl.BlockSpec((1, n, Dg), lambda b: (0, 0, 0)),
+            pl.BlockSpec((1, 1, Dg), lambda b: (0, 0, 0)),
+            pl.BlockSpec((1, 1, Dg), lambda b: (0, 0, 0)),
+            pl.BlockSpec(Wb.shape, lambda b: (0, 0, 0)),
+            pl.BlockSpec(Wc.shape, lambda b: (0, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((bsz, L, Dg), io),
+        scratch_shapes=[
+            pltpu.VMEM((btile, n, Dg), jnp.float32),  # carry
+            pltpu.VMEM((btile, Lc, n, Dg), io),       # a
+            pltpu.VMEM((btile, Lc, n, Dg), io),       # xs
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(Af, dbf, Dskf, Wb, Wc, uf, dlf, bc)
+    return y
+
+
+def kfold_unfold(y, G, L, dg, dgp):
+    """(B, Lp, G*dgp) -> (B, G, L, dg)."""
+    bsz, Lp, Dg = y.shape
+    return y.reshape(bsz, Lp, G, dgp).transpose(0, 2, 1, 3)[:, :, :L, :dg]
+
+
+# ---------------------------------------------------------------------------
+# Persistent BACKWARD (prepad layout): in-kernel emit_pipeline over chunks in
+# REVERSE scan order, dA/dD/ddb accumulated in VMEM scratch across the whole
+# L sweep. Recurrence math identical to the production _bwd_kernel
+# (ops/selective_scan_pallas.py): e_t = C_t g_t + a_{t+1} e_{t+1}, gradients
+# from the within-chunk recompute off the saved chunk-entry states.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_train_kernel(
+    A_ref, db_ref, Dsk_ref,
+    u_hbm, d_hbm, B_hbm, C_hbm,
+    y_hbm, cs_hbm,                 # outputs: y + per-chunk entry states
+    xcarry, a_s, xs_s,
+    *, nck, Lc, unroll, n_real,
+):
+    b, g = pl.program_id(0), pl.program_id(1)
+    bt = a_s.shape[0]
+    n_load = B_hbm.shape[-1]
+    n = n_real
+    dg = a_s.shape[-1]
+    A = A_ref[0]
+    xcarry[:] = jnp.zeros_like(xcarry)
+
+    def inner(u_ref, d_ref, B_ref, C_ref, y_ref, cs_ref):
+        cs_ref[:, 0, 0] = xcarry[:]    # the state ENTERING this chunk
+        u = u_ref[:, 0].astype(jnp.float32)
+        raw = d_ref[:, 0].astype(jnp.float32) + db_ref[0][None]
+        dlt = jax.nn.softplus(raw)
+        du = dlt * u
+        a_s[:] = jnp.exp(dlt[:, :, None, :] * A[None, None]).astype(a_s.dtype)
+        Bc = B_ref[:, 0, :, :n].astype(jnp.float32)
+        xs_s[:] = (Bc[..., None] * du[:, :, None, :]).astype(xs_s.dtype)
+
+        x = xcarry[:]
+
+        def step(i, x):
+            for j in range(unroll):
+                t = i * unroll + j
+                x = a_s[:, t].astype(jnp.float32) * x + xs_s[:, t].astype(
+                    jnp.float32)
+                xs_s[:, t] = x.astype(xs_s.dtype)
+            return x
+        xcarry[:] = jax.lax.fori_loop(0, Lc // unroll, step, x)
+
+        Cc = C_ref[:, 0, :, :n].astype(jnp.float32)
+        y = jnp.sum(Cc[..., None] * xs_s[:].astype(jnp.float32), axis=2)
+        y_ref[:, 0] = (y + Dsk_ref[0][None] * u).astype(y_ref.dtype)
+
+    spec_d = pl.BlockSpec((bt, 1, Lc, dg), lambda ck: (b, g, ck, 0))
+    spec_n = pl.BlockSpec((bt, 1, Lc, n_load), lambda ck: (b, g, ck, 0))
+    spec_cs = pl.BlockSpec((bt, 1, 1, a_s.shape[2], dg),
+                           lambda ck: (b, g, ck, 0, 0))
+    pltpu.emit_pipeline(
+        inner,
+        grid=(nck,),
+        in_specs=[spec_d, spec_d, spec_n, spec_n],
+        out_specs=[spec_d, spec_cs],
+    )(u_hbm, d_hbm, B_hbm, C_hbm, y_hbm, cs_hbm)
+
+
+def persistent_fwd_train(u, delta, A_t, Bm, Cm, Dsk, db, *, btile, Lc,
+                         unroll=4, n_real=None, interpret=False):
+    """persistent_fwd + saved per-chunk entry states (the bwd residuals)."""
+    bsz, G, L, dg = u.shape
+    n = A_t.shape[1] if n_real is None else n_real
+    assert L % Lc == 0
+    while Lc % unroll:
+        unroll -= 1
+    nck = L // Lc
+    io = u.dtype
+    grid = (bsz // btile, G)
+    kernel = functools.partial(_fwd_train_kernel, nck=nck, Lc=Lc,
+                               unroll=unroll, n_real=n)
+    y, cs = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n, dg), lambda b, g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, dg), lambda b, g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, dg), lambda b, g: (g, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY),
+                   pl.BlockSpec(memory_space=pl.ANY)],
+        out_shape=[jax.ShapeDtypeStruct((bsz, G, L, dg), io),
+                   jax.ShapeDtypeStruct((bsz, G, nck, n, dg), jnp.float32)],
+        scratch_shapes=[
+            pltpu.VMEM((btile, n, dg), jnp.float32),
+            pltpu.VMEM((btile, Lc, n, dg), io),
+            pltpu.VMEM((btile, Lc, n, dg), io),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(A_t, db, Dsk, u, delta, Bm, Cm)
+    return y, cs
+
+
+def _bwd_persistent_kernel(
+    A_ref, db_ref, Dsk_ref,
+    u_hbm, d_hbm, B_hbm, C_hbm, cs_hbm, g_hbm,
+    du_hbm, dd_hbm, dB_hbm, dC_hbm, dA_out, dD_out, ddb_out,
+    ecarry, a_s, xs_s, e_s, dA_s, dD_s, ddb_s,
+    *, nck, Lc, unroll, n_real, softplus,
+):
+    b, g_id = pl.program_id(0), pl.program_id(1)
+    bt = a_s.shape[0]
+    n_load = B_hbm.shape[-1]
+    n = n_real
+    dg = a_s.shape[-1]
+    A = A_ref[0]
+    ecarry[:] = jnp.zeros_like(ecarry)
+    dA_s[:] = jnp.zeros_like(dA_s)
+    dD_s[:] = jnp.zeros_like(dD_s)
+    ddb_s[:] = jnp.zeros_like(ddb_s)
+
+    def inner(u_ref, d_ref, B_ref, C_ref, cs_ref, g_ref,
+              du_ref, dd_ref, dB_ref, dC_ref):
+        u = u_ref[:, 0].astype(jnp.float32)
+        raw = d_ref[:, 0].astype(jnp.float32) + db_ref[0][None]
+        dlt = jax.nn.softplus(raw) if softplus else raw
+        du_in = dlt * u
+        Bc = B_ref[:, 0, :, :n].astype(jnp.float32)
+        Cc = C_ref[:, 0, :, :n].astype(jnp.float32)
+        gy = g_ref[:, 0].astype(jnp.float32)
+        a_s[:] = jnp.exp(dlt[:, :, None, :] * A[None, None]).astype(a_s.dtype)
+
+        # within-chunk forward recompute from the saved entry state
+        xs_s[:] = (Bc[..., None] * du_in[:, :, None, :]).astype(xs_s.dtype)
+        entry = cs_ref[:, 0, 0].astype(jnp.float32)        # (bt, n, dg)
+
+        def fbody(i, x):
+            for j in range(unroll):
+                t = i * unroll + j
+                x = a_s[:, t].astype(jnp.float32) * x + xs_s[:, t].astype(
+                    jnp.float32)
+                xs_s[:, t] = x.astype(xs_s.dtype)
+            return x
+        jax.lax.fori_loop(0, Lc // unroll, fbody, entry)
+
+        # reverse scan: e_t = C_t g_t + a_{t+1} e_{t+1}
+        e_s[:] = (Cc[..., None] * gy[:, :, None, :]).astype(e_s.dtype)
+
+        def rbody(i, carry):
+            for j in range(unroll):
+                t = Lc - 1 - (i * unroll + j)
+                e = e_s[:, t].astype(jnp.float32) + carry
+                e_s[:, t] = e.astype(e_s.dtype)
+                carry = a_s[:, t].astype(jnp.float32) * e
+            return carry
+        ecarry[:] = jax.lax.fori_loop(0, Lc // unroll, rbody, ecarry[:])
+
+        # epilogue (full chunk; Lc stays small in the persistent layout)
+        e = e_s[:].astype(jnp.float32)
+        a = a_s[:].astype(jnp.float32)
+        xs = xs_s[:].astype(jnp.float32)
+        xsp = jnp.concatenate([entry[:, None], xs[:, :-1]], axis=1)
+        eaxp = e * a * xsp
+        dd_a = jnp.sum(eaxp * A[None, None], axis=2)
+        ddu = jnp.sum(e * Bc[..., None], axis=2)
+        dd_total = dd_a + ddu * u
+        if softplus:
+            dd_total = dd_total * jax.nn.sigmoid(raw)
+        dd_ref[:, 0] = dd_total.astype(dd_ref.dtype)
+        du_ref[:, 0] = (ddu * dlt + Dsk_ref[0][None] * gy).astype(
+            du_ref.dtype)
+        dB_ref[:, 0] = jnp.pad(
+            jnp.sum(e * du_in[:, :, None, :], axis=3),
+            ((0, 0), (0, 0), (0, n_load - n))).astype(dB_ref.dtype)
+        dC_ref[:, 0] = jnp.pad(
+            jnp.sum(xs * gy[:, :, None, :], axis=3),
+            ((0, 0), (0, 0), (0, n_load - n))).astype(dC_ref.dtype)
+        dA_s[:] += jnp.sum(eaxp * dlt[:, :, None, :], axis=(0, 1))
+        dD_s[:] += jnp.sum(gy * u, axis=(0, 1))[None]
+        ddb_s[:] += jnp.sum(dd_total, axis=(0, 1))[None]
+
+    rev = lambda ck: nck - 1 - ck  # noqa: E731
+    spec_d = pl.BlockSpec((bt, 1, Lc, dg), lambda ck: (b, g_id, rev(ck), 0))
+    spec_n = pl.BlockSpec((bt, 1, Lc, n_load),
+                          lambda ck: (b, g_id, rev(ck), 0))
+    spec_cs = pl.BlockSpec((bt, 1, 1, n, dg),
+                           lambda ck: (b, g_id, rev(ck), 0, 0))
+    pltpu.emit_pipeline(
+        inner,
+        grid=(nck,),
+        in_specs=[spec_d, spec_d, spec_n, spec_n, spec_cs, spec_d],
+        out_specs=[spec_d, spec_d, spec_n, spec_n],
+    )(u_hbm, d_hbm, B_hbm, C_hbm, cs_hbm, g_hbm,
+      du_hbm, dd_hbm, dB_hbm, dC_hbm)
+
+    dA_out[0, 0] = dA_s[:]
+    dD_out[0, 0] = dD_s[:]
+    ddb_out[0, 0] = ddb_s[:]
+
+
+def persistent_bwd(u, delta, A_t, Bm, Cm, Dsk, db, cs, gy, *, btile, Lc,
+                   unroll=4, n_real=None, softplus=True, interpret=False):
+    bsz, G, L, dg = u.shape
+    n = A_t.shape[1] if n_real is None else n_real
+    n_load = Bm.shape[-1]
+    assert L % Lc == 0
+    while Lc % unroll:
+        unroll -= 1
+    nck = L // Lc
+    io = u.dtype
+    nb = bsz // btile
+    grid = (nb, G)
+    kernel = functools.partial(_bwd_persistent_kernel, nck=nck, Lc=Lc,
+                               unroll=unroll, n_real=n, softplus=softplus)
+    du, dd, dB, dC, dA, dD, ddb = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, n, dg), lambda b, g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, dg), lambda b, g: (g, 0, 0)),
+            pl.BlockSpec((1, 1, dg), lambda b, g: (g, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, 1, n, dg), lambda b, g: (b, g, 0, 0)),
+            pl.BlockSpec((1, 1, 1, dg), lambda b, g: (b, g, 0, 0)),
+            pl.BlockSpec((1, 1, 1, dg), lambda b, g: (b, g, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bsz, G, L, dg), io),        # du
+            jax.ShapeDtypeStruct((bsz, G, L, dg), io),        # dd
+            jax.ShapeDtypeStruct((bsz, G, L, n_load), io),    # dB
+            jax.ShapeDtypeStruct((bsz, G, L, n_load), io),    # dC
+            jax.ShapeDtypeStruct((nb, G, n, dg), jnp.float32),
+            jax.ShapeDtypeStruct((nb, G, 1, dg), jnp.float32),
+            jax.ShapeDtypeStruct((nb, G, 1, dg), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((btile, n, dg), jnp.float32),   # e carry
+            pltpu.VMEM((btile, Lc, n, dg), io),        # a
+            pltpu.VMEM((btile, Lc, n, dg), io),        # xs
+            pltpu.VMEM((btile, Lc, n, dg), io),        # e
+            pltpu.VMEM((n, dg), jnp.float32),          # dA acc
+            pltpu.VMEM((1, dg), jnp.float32),          # dD acc
+            pltpu.VMEM((1, dg), jnp.float32),          # ddb acc
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(A_t, db, Dsk, u, delta, Bm, Cm, cs, gy)
+    return du, dd, dB, dC, dA.sum(0), dD.sum(0)[:, 0], ddb.sum(0)[:, 0]
+
+
 def sync(x):
     return float(jnp.sum(x[..., -1, :].astype(jnp.float32)))
 
@@ -161,6 +606,100 @@ def timeit(f, *args, iters=10):
         y = f(*args)
     sync(y)
     return (time.perf_counter() - t0) / iters * 1e3
+
+
+def bwd_main():
+    """Persistent-backward parity (vs the XLA reference VJP) and timing
+    (vs the production custom-VJP pair) at the stage-0 shape."""
+    from mamba_unet_tpu.ops import selective_scan_ref
+    from mamba_unet_tpu.ops import selective_scan_pallas as ssp
+    on_tpu = "--tpu" in sys.argv
+    print(f"[bwd] backend={jax.default_backend()}")
+    rng = np.random.default_rng(0)
+
+    shapes = [(8, 2, 512, 192, 16)]
+    if on_tpu and "--stage0" in sys.argv:
+        shapes.append((24, 4, 3136, 192, 16))
+    for si, (BATCH, K, L, dg, n) in enumerate(shapes):
+        parity = si == 0
+        dt = jnp.bfloat16 if on_tpu else jnp.float32
+        u = jnp.asarray(rng.normal(size=(BATCH, K, L, dg)), dt)
+        dl = jnp.asarray(0.1 * rng.normal(size=(BATCH, K, L, dg)), dt)
+        A = -jnp.exp(jnp.asarray(rng.normal(size=(K * dg, n)), jnp.float32)
+                     * 0.5)
+        Bm = jnp.asarray(rng.normal(size=(BATCH, K, L, n)), dt)
+        Cm = jnp.asarray(rng.normal(size=(BATCH, K, L, n)), dt)
+        gy = jnp.asarray(rng.normal(size=(BATCH, K, L, dg)), dt)
+        A_t = A.reshape(K, dg, n).transpose(0, 2, 1)
+        Dsk = jnp.zeros((K, 1, dg), jnp.float32)
+        db = jnp.zeros((K, 1, dg), jnp.float32)
+        dgp = -(-dg // 128) * 128
+        up, dlp, A_tp = (_pad_lanes(x, dgp) for x in (u, dl, A_t))
+        Bp, Cp = _pad_lanes(Bm, 128), _pad_lanes(Cm, 128)
+        Dskp, dbp = _pad_lanes(Dsk, dgp), _pad_lanes(db, dgp)
+        gyp = _pad_lanes(gy, dgp)
+        btile, Lc = (8, 16) if on_tpu else (2, 16)
+        print(f"[bwd] === B{BATCH} K{K} L{L} dg{dg} ===", flush=True)
+
+        fwd_t = jax.jit(functools.partial(
+            persistent_fwd_train, btile=btile, Lc=Lc, n_real=n))
+        bwd_t = jax.jit(functools.partial(
+            persistent_bwd, btile=btile, Lc=Lc, n_real=n))
+        y, cs = fwd_t(up, dlp, A_tp, Bp, Cp, Dskp, dbp)
+        du, dd, dB, dC, dA, dD, ddb = bwd_t(
+            up, dlp, A_tp, Bp, Cp, Dskp, dbp, cs, gyp)
+
+        if parity:
+            def to_ref(x):
+                return (x.astype(jnp.float32).transpose(0, 1, 3, 2)
+                        .reshape(BATCH, K * x.shape[-1], L))
+
+            def ref_fn(u_, dl_, A_, B_, C_):
+                out = selective_scan_ref(
+                    to_ref(u_), to_ref(dl_), A_,
+                    B_.astype(jnp.float32).transpose(0, 1, 3, 2),
+                    C_.astype(jnp.float32).transpose(0, 1, 3, 2),
+                    None, None, None, True)
+                return out.reshape(BATCH, K, dg, L).transpose(0, 1, 3, 2)
+
+            ref_out, vjp = jax.vjp(
+                ref_fn, u.astype(jnp.float32), dl.astype(jnp.float32), A,
+                Bm.astype(jnp.float32), Cm.astype(jnp.float32))
+            ru, rd, rA, rB, rC = vjp(gy.astype(jnp.float32))
+            yerr = float(jnp.abs(
+                y[..., :dg].astype(jnp.float32) - ref_out).max())
+            rA_t = rA.reshape(K, dg, n).transpose(0, 2, 1)
+            scale = float(jnp.abs(ru).max())
+
+            def rerr(got, want):
+                return float(jnp.abs(got.astype(jnp.float32) - want).max()
+                             ) / max(float(jnp.abs(want).max()), 1e-6)
+
+            print(f"[bwd]  y err {yerr:.1e}"
+                  f"  du {rerr(du[..., :dg], ru):.1e}"
+                  f"  dd {rerr(dd[..., :dg], rd):.1e}"
+                  f"  dB {rerr(dB[..., :n], rB):.1e}"
+                  f"  dC {rerr(dC[..., :n], rC):.1e}"
+                  f"  dA {rerr(dA[..., :dg], rA_t):.1e}", flush=True)
+
+        if on_tpu:
+            tf = timeit(lambda *a: fwd_t(*a)[0],
+                        up, dlp, A_tp, Bp, Cp, Dskp, dbp)
+            tb = timeit(
+                lambda *a: bwd_t(*a)[0],
+                up, dlp, A_tp, Bp, Cp, Dskp, dbp, cs, gyp)
+            gyc = gy.astype(jnp.float32)
+
+            def loss_prod(u_, dl_, A_, B_, C_):
+                out = ssp.selective_scan_pallas_tm(u_, dl_, A_, B_, C_,
+                                                   delta_softplus=True)
+                return jnp.sum(out.astype(jnp.float32) * gyc)
+
+            gprod = jax.jit(jax.grad(loss_prod, argnums=(0, 1, 2, 3, 4)))
+            tp = timeit(lambda *a: gprod(*a)[0], u, dl, A, Bm, Cm)
+            print(f"[bwd]  persistent fwd {tf:7.2f} + bwd {tb:7.2f}"
+                  f" = {tf + tb:7.2f} ms   production VJP {tp:7.2f} ms",
+                  flush=True)
 
 
 def main():
@@ -176,6 +715,8 @@ def main():
     shapes = ((24, 4, 3136, 192, 16), (24, 4, 784, 384, 16),
               (24, 4, 196, 768, 16), (24, 4, 49, 1536, 16)) if on_tpu \
         else ((2, 2, 64, 8, 4),)
+    if "--stage0" in sys.argv:
+        shapes = shapes[:1]
     for BATCH, K, L, dg, n in shapes:
         dt = jnp.bfloat16 if on_tpu else jnp.float32
         u = jnp.asarray(rng.normal(size=(BATCH, K, L, dg)), dt)
@@ -209,6 +750,48 @@ def main():
                _pad_lanes(Dsk, dgp), _pad_lanes(db, dgp))
 
         print(f"=== B{BATCH} K{K} L{L} dg{dg} ===")
+
+        # --- K-folded persistent: all G directions advance in one L-loop ---
+        kf = kfold_pack(u, dl, A_t, Bm, Cm, Dsk, db)
+        uf, dlf, Af, bc, Dskf, dbf, _, dgp = kf
+        Wb, Wc = _kfold_expansion_mats(K, n, dgp, uf.dtype)
+        Wdummy = jnp.zeros((1, 8, 128), uf.dtype)
+        for btile, Lc in ((8, 16), (8, 32), (24, 16), (24, 32)) \
+                if on_tpu else ((2, 16),):
+            if uf.shape[1] % Lc or BATCH % btile:
+                continue
+            for expansion in ("matmul", "reshape", "none", "matmul+noloop",
+                              "matmul+noy", "none+noloop"):
+                wb, wc = (Wb, Wc) if expansion.startswith("matmul") \
+                    else (Wdummy, Wdummy)
+                try:
+                    f = jax.jit(functools.partial(
+                        kfold_fwd, btile=btile, Lc=Lc, expansion=expansion,
+                        interpret=interpret))
+                    got = kfold_unfold(f(uf, dlf, Af, bc, Dskf, dbf, wb, wc),
+                                       K, L, dg, dgp)
+                    err = float(jnp.abs(got.astype(jnp.float32) - want).max())
+                    line = (f"  kfold[{expansion}] bt={btile} Lc={Lc}"
+                            f"  err {err:.1e}")
+                    if on_tpu:
+                        line += (f"  {timeit(f, uf, dlf, Af, bc, Dskf, dbf, wb, wc):7.2f}"
+                                 " ms")
+                    print(line, flush=True)
+                except Exception as e:  # noqa: BLE001
+                    print(f"  kfold[{expansion}] bt={btile} Lc={Lc}  FAILED "
+                          f"{type(e).__name__}: {str(e)[:300]}", flush=True)
+
+        if "--kfold_only" in sys.argv:
+            if on_tpu:
+                from mamba_unet_tpu.ops import selective_scan_pallas as ssp
+                f0 = jax.jit(lambda *a: ssp.selective_scan_pallas_tm(
+                    *a, delta_softplus=True))
+                got = f0(u, dl, A, Bm, Cm)
+                err = float(jnp.abs(got.astype(jnp.float32) - want).max())
+                print(f"  production           err {err:.1e}"
+                      f"  {timeit(f0, u, dl, A, Bm, Cm):7.2f} ms")
+            continue
+
         variants = (("raw", persistent_fwd), ("padded", persistent_fwd_padded),
                     ("prepad", None))
         for btile, Lc in ((8, 16), (8, 32), (8, 64), (8, 112), (24, 16),
@@ -250,4 +833,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--bwd" in sys.argv:
+        bwd_main()
+    else:
+        main()
