@@ -74,7 +74,31 @@ def bench_e2e(trainer, batch_size, patch, n_steps=40) -> float:
     return n_steps * batch_size / dt
 
 
-def bench_companion(which: str) -> float:
+def _measure_windows(trainer, batch, batch_size, n_windows=3, n_steps=20):
+    """Repeat the chained-step timing window; returns slices/s per window.
+
+    The spread across windows is the run-to-run variance the VERDICT r3
+    review asked the artifact to carry (tunnel RTT + chip clock jitter are
+    the dominant sources; each window amortizes them over n_steps donated
+    steps with ONE host sync at the end)."""
+    out = []
+    for _ in range(n_windows):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            trainer.state, logs = trainer._step(trainer.state, batch)
+        _ = float(logs["loss_total"])
+        out.append(n_steps * batch_size / (time.perf_counter() - t0))
+    return out
+
+
+def _median_spread(samples):
+    s = sorted(samples)
+    med = s[len(s) // 2]
+    spread = 100.0 * (s[-1] - s[0]) / med if med else 0.0
+    return med, spread
+
+
+def bench_companion(which: str) -> tuple:
     """Train-step slices/s for the OTHER two headline models of the
     reference (BASELINE.md: UNet @256² bs24, Swin-UNet @224² bs24) — both
     MXU-mapped, showing the framework ceiling when the workload is
@@ -103,12 +127,7 @@ def bench_companion(which: str) -> float:
     }
     trainer.state, logs = trainer._step(trainer.state, batch)
     _ = float(logs["loss_total"])
-    n_steps = 20
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        trainer.state, logs = trainer._step(trainer.state, batch)
-    _ = float(logs["loss_total"])
-    return n_steps * batch_size / (time.perf_counter() - t0)
+    return _median_spread(_measure_windows(trainer, batch, batch_size))
 
 
 def main() -> None:
@@ -163,16 +182,11 @@ def main() -> None:
     trainer.state = state
     _ = float(logs["loss_total"])
 
-    n_steps = 20
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        trainer.state, logs = trainer._step(trainer.state, batch)
-    # the donated state chains every step; forcing the last loss to host
-    # forces the whole sequence
-    _ = float(logs["loss_total"])
-    dt = time.perf_counter() - t0
-
-    slices_per_sec = n_steps * batch_size / dt
+    # three 20-step windows: value = median, spread = (max-min)/median —
+    # the donated state chains every step inside a window; forcing the last
+    # loss to host forces the whole sequence
+    windows = _measure_windows(trainer, batch, batch_size)
+    slices_per_sec, spread_pct = _median_spread(windows)
 
     extra = {}
     # e2e (loader-fed) throughput ships in the driver artifact by DEFAULT
@@ -193,10 +207,11 @@ def main() -> None:
     if "--no_zoo" not in sys.argv:
         for key, which in (("unet_256", "unet"), ("swin_unet_224", "swinunet")):
             try:
-                sps = bench_companion(which)
+                sps, c_spread = bench_companion(which)
                 extra[f"{key}_slices_per_sec"] = round(sps, 2)
                 extra[f"{key}_vs_baseline"] = round(
                     sps / BASELINE_SLICES_PER_SEC, 2)
+                extra[f"{key}_spread_pct"] = round(c_spread, 1)
             except Exception as e:  # pragma: no cover
                 extra[f"{key}_error"] = repr(e)[:120]
 
@@ -209,6 +224,7 @@ def main() -> None:
                         "state); vs_baseline = x over a 33.33 slices/s A100 "
                         "anchor (2.5x the published RTX-3090 run)",
                 "vs_baseline": round(slices_per_sec / BASELINE_SLICES_PER_SEC, 2),
+                "spread_pct": round(spread_pct, 1),
                 **extra,
             }
         )
