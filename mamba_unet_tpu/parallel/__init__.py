@@ -23,6 +23,7 @@ from mamba_unet_tpu.parallel.pipeline import (
     pipeline_blocks,
     pipeline_lm_apply,
     pipeline_lm_loss,
+    prestack_lm_params,
     stack_layer_params,
 )
 
@@ -38,5 +39,6 @@ __all__ = [
     "pipeline_blocks",
     "pipeline_lm_apply",
     "pipeline_lm_loss",
+    "prestack_lm_params",
     "stack_layer_params",
 ]

@@ -32,9 +32,10 @@ Two layers of API:
   a tiny fraction of LM FLOPs); the per-layer parameter stack is built from
   the ordinary ``variables`` pytree with ``jnp.stack`` INSIDE the jitted
   computation, so gradients flow back to the ordinary per-layer tree and the
-  usual optax/orbax machinery applies unchanged. (Production note: for
-  models too big to replicate, pre-stack the layer tree once and keep it
-  device-sharded over ``pipe``; ``pipeline_blocks`` consumes it directly.)
+  usual optax/orbax machinery applies unchanged. For models too big to
+  replicate, :func:`prestack_lm_params` builds the production layout once
+  outside jit — the layer stack device-sharded ``P("pipe")`` so each stage
+  holds only its own layers — and both wrappers consume it via ``stacked=``.
 """
 
 from __future__ import annotations
@@ -53,6 +54,38 @@ def stack_layer_params(params: dict, n_layer: int, prefix: str = "layers_"):
     so gradients flow back to the per-layer tree it was built from."""
     layers = [params[f"{prefix}{i}"] for i in range(n_layer)]
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def prestack_lm_params(variables, n_layer: int, mesh: Mesh,
+                       axis: str = "pipe", prefix: str = "layers_"):
+    """Production parameter layout for :func:`pipeline_lm_apply`: split an LM
+    ``variables`` tree into ``(nonlayer_variables, stacked)`` ONCE outside
+    jit, with ``stacked`` carrying every per-layer subtree on a leading layer
+    axis and device-sharded ``P(axis)`` over the mesh — each pipeline stage
+    holds only its own ``n_layer // S`` layers in HBM (the small
+    embedding/norm/head stay replicated in ``nonlayer_variables``). This
+    replaces the replicate-then-``jnp.stack``-in-jit convenience path for
+    models too big to replicate.
+
+    Train steps keep the tree sharded end-to-end: gradients from
+    :func:`pipeline_lm_loss` inherit the ``P(axis)`` sharding (the autodiff
+    transpose of the ``shard_map`` in :func:`pipeline_blocks`), and optax
+    updates are elementwise, so the optimizer state and updated params stay
+    ``P(axis)`` without further annotation."""
+    params = variables["params"]
+    layer_keys = {f"{prefix}{i}" for i in range(n_layer)}
+    missing = layer_keys - set(params)
+    if missing:
+        raise ValueError(f"variables missing layer subtrees: {sorted(missing)}")
+    stacked = stack_layer_params(params, n_layer, prefix)
+    sharding = jax.sharding.NamedSharding(mesh, P(axis))
+    stacked = jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, sharding), stacked)
+    nonlayer_variables = dict(variables)
+    nonlayer_variables["params"] = {
+        k: v for k, v in params.items() if k not in layer_keys
+    }
+    return nonlayer_variables, stacked
 
 
 def pipeline_blocks(
@@ -155,11 +188,19 @@ def pipeline_lm_apply(
     axis: str = "pipe",
     n_micro: int = 4,
     deterministic: bool = True,
+    stacked=None,
 ):
     """``MambaLMHeadModel.__call__`` with the block stack pipelined over
     ``axis``. Semantically identical to ``model.apply(variables, input_ids)``
     (same per-layer math, microbatching only re-batches the row dimension);
     returns fp32 logits ``(B, L, padded_vocab)``.
+
+    ``stacked``: pass the pipe-sharded layer stack from
+    :func:`prestack_lm_params` (with its ``nonlayer_variables`` as
+    ``variables``) to run the production layout — no per-layer subtrees are
+    read from ``variables`` and no in-jit ``jnp.stack`` happens; each stage
+    touches only its own layers. Omit it (default) for the convenience path
+    that stacks the replicated per-layer tree inside the computation.
 
     ``deterministic`` must stay True: the pipelined blocks always run
     without dropout (threading per-tick RNG through the wavefront is not
@@ -180,7 +221,8 @@ def pipeline_lm_apply(
     )
     h = model.apply(variables, input_ids,
                     method=lambda m, ids: m.embedding(ids))
-    stacked = stack_layer_params(variables["params"], model.n_layer)
+    if stacked is None:
+        stacked = stack_layer_params(variables["params"], model.n_layer)
     y_mb = pipeline_blocks(
         lambda p, hh: block.apply({"params": p}, hh),
         stacked, _microbatch(h, n_micro), mesh, axis,
@@ -198,12 +240,14 @@ def pipeline_lm_loss(
     mesh: Mesh,
     axis: str = "pipe",
     n_micro: int = 4,
+    stacked=None,
 ) -> jnp.ndarray:
     """Mean next-token cross-entropy through the pipelined forward —
-    differentiable wrt ``variables`` (the backward pipeline is the autodiff
-    transpose of the tick loop; see module docstring)."""
+    differentiable wrt ``variables`` (and wrt ``stacked`` when the
+    pre-sharded production layout is passed; the backward pipeline is the
+    autodiff transpose of the tick loop — see module docstring)."""
     logits = pipeline_lm_apply(model, variables, input_ids, mesh, axis,
-                               n_micro)
+                               n_micro, stacked=stacked)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
     return jnp.mean(nll)

@@ -16,6 +16,7 @@ from mamba_unet_tpu.parallel import (
     pipeline_blocks,
     pipeline_lm_apply,
     pipeline_lm_loss,
+    prestack_lm_params,
     stack_layer_params,
 )
 
@@ -77,6 +78,73 @@ def test_pipeline_grads_match_plain(lm):
             np.asarray(g), np.asarray(flat_r[path]), rtol=2e-4, atol=2e-5,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_pipeline_prestacked_matches_plain(lm):
+    """The production layout (prestack_lm_params: layer stack device-sharded
+    P('pipe'), nonlayer variables stripped of the per-layer subtrees) must
+    produce the same logits as the plain model — and the stacked leaves must
+    actually be sharded over the pipe axis."""
+    model, variables = lm
+    mesh = make_mesh(devices=jax.devices()[:4], axes=("pipe",))
+    rng = np.random.default_rng(3)
+    ids = jnp.asarray(rng.integers(0, VOCAB, size=(B, L)), jnp.int32)
+
+    nonlayer, stacked = prestack_lm_params(variables, N_LAYER, mesh)
+    assert not any(k.startswith("layers_") for k in nonlayer["params"])
+    leaf = jax.tree_util.tree_leaves(stacked)[0]
+    assert leaf.sharding.spec == jax.sharding.PartitionSpec("pipe")
+
+    want = model.apply(variables, ids)
+    got = jax.jit(
+        lambda nv, st, i: pipeline_lm_apply(model, nv, i, mesh, n_micro=2,
+                                            stacked=st)
+    )(nonlayer, stacked, ids)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_prestacked_train_step_stays_sharded(lm):
+    """An SGD step on the production layout: grads wrt (nonlayer, stacked)
+    match the replicated path's grads (stacked grads == stacked per-layer
+    grads), and the updated stack keeps its P('pipe') sharding — the
+    optimizer needs no re-annotation."""
+    model, variables = lm
+    mesh = make_mesh(devices=jax.devices()[:4], axes=("pipe",))
+    rng = np.random.default_rng(4)
+    ids = jnp.asarray(rng.integers(0, VOCAB, size=(B, L)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, VOCAB, size=(B, L)), jnp.int32)
+
+    nonlayer, stacked = prestack_lm_params(variables, N_LAYER, mesh)
+
+    @jax.jit
+    def sgd_step(nv, st):
+        loss, (g_nv, g_st) = jax.value_and_grad(
+            lambda nv_, st_: pipeline_lm_loss(
+                model, nv_, ids, targets, mesh, n_micro=2, stacked=st_),
+            argnums=(0, 1),
+        )(nv, st)
+        upd = jax.tree_util.tree_map(lambda p, g: p - 0.1 * g, st, g_st)
+        return loss, g_nv, g_st, upd
+
+    loss_p, g_nv, g_st, upd = sgd_step(nonlayer, stacked)
+
+    # reference grads from the replicated path
+    loss_r, grads_r = jax.jit(jax.value_and_grad(
+        lambda v: _plain_loss(model, v, ids, targets)
+    ))(variables)
+    np.testing.assert_allclose(float(loss_p), float(loss_r), rtol=1e-5)
+    want_st = stack_layer_params(grads_r["params"], N_LAYER)
+    for path, g in jax.tree_util.tree_leaves_with_path(g_st):
+        np.testing.assert_allclose(
+            np.asarray(g),
+            np.asarray(dict(jax.tree_util.tree_leaves_with_path(want_st))[path]),
+            rtol=2e-4, atol=2e-5, err_msg=jax.tree_util.keystr(path),
+        )
+    # sharding survives grad + update
+    for t in (g_st, upd):
+        leaf = jax.tree_util.tree_leaves(t)[0]
+        assert leaf.sharding.spec == jax.sharding.PartitionSpec("pipe")
 
 
 def test_pipeline_blocks_generic_stage_fn():
