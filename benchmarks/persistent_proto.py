@@ -155,7 +155,7 @@ def _kfold_fwd_kernel(
     u_hbm, d_hbm, bc_hbm,         # ANY (HBM residents)
     y_hbm,                        # ANY output
     xcarry, a_s, xs_s,            # VMEM scratch
-    *, nck, Lc, unroll, expansion,
+    *, nck, Lc, unroll, expansion, G,
 ):
     """K-FOLDED persistent forward: the direction axis G lives in the LANE
     dim (Dg = G * dg_padded), so all G scans advance in ONE sequential loop
@@ -174,7 +174,9 @@ def _kfold_fwd_kernel(
     A = A_ref[0]                                      # (n, Dg)
     xcarry[:] = jnp.zeros_like(xcarry)
 
-    G = 128 // (2 * n)  # BC pack: B at g*n+i, C at 64 + g*n+i
+    # G comes from the packer (the data's actual K): deriving it from n
+    # alone (128 // 2n) decodes the BC slab wrongly whenever K != 128/(2n).
+    assert 2 * G * n <= 128, f"BC pack overflow: K={G} n={n}"
     dgp = Dg // G
 
     def expand(bc2, which):
@@ -289,7 +291,7 @@ def kfold_pack(u, delta, A_t, Bm, Cm, Dsk, db):
     return fold(u), fold(delta), Af, bc, fold_p(Dsk), fold_p(db), dg, dgp
 
 
-def kfold_fwd(uf, dlf, Af, bc, Dskf, dbf, Wb, Wc, *, btile, Lc, unroll=4,
+def kfold_fwd(uf, dlf, Af, bc, Dskf, dbf, Wb, Wc, *, G, btile, Lc, unroll=4,
               expansion="matmul", interpret=False):
     bsz, L, Dg = uf.shape
     n = Af.shape[1]
@@ -299,7 +301,7 @@ def kfold_fwd(uf, dlf, Af, bc, Dskf, dbf, Wb, Wc, *, btile, Lc, unroll=4,
     nck = L // Lc
     io = uf.dtype
     kernel = functools.partial(_kfold_fwd_kernel, nck=nck, Lc=Lc,
-                               unroll=unroll, expansion=expansion)
+                               unroll=unroll, expansion=expansion, G=G)
     y = pl.pallas_call(
         kernel,
         grid=(bsz // btile,),
@@ -766,8 +768,8 @@ def main():
                     else (Wdummy, Wdummy)
                 try:
                     f = jax.jit(functools.partial(
-                        kfold_fwd, btile=btile, Lc=Lc, expansion=expansion,
-                        interpret=interpret))
+                        kfold_fwd, G=K, btile=btile, Lc=Lc,
+                        expansion=expansion, interpret=interpret))
                     got = kfold_unfold(f(uf, dlf, Af, bc, Dskf, dbf, wb, wc),
                                        K, L, dg, dgp)
                     err = float(jnp.abs(got.astype(jnp.float32) - want).max())

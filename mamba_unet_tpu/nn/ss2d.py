@@ -203,11 +203,13 @@ class SS2D(nn.Module):
             self.scan_impl in ("folded", "hwbc_folded")
             or (hwbc and self.scan_impl == "auto" and d_inner % 128 != 0)
         )
-        if self.scan_impl in ("folded", "hwbc_folded") and not foldable:
-            # trace-time heads-up, not an error: `init` at batch 1
-            # legitimately traces unfoldable shapes, but a MEASUREMENT run
-            # that silently fell through to the bidir/XLA path would time
-            # the wrong kernel.
+        if (self.scan_impl in ("folded", "hwbc_folded") and not foldable
+                and not self.is_initializing()):
+            # trace-time heads-up, not an error — but NOT during `init`:
+            # init at batch 1 always traces unfoldable shapes, and warning
+            # there would make this routine startup noise. The signal is for
+            # a MEASUREMENT/train trace that silently fell through to the
+            # bidir/XLA path and would time the wrong kernel.
             import warnings
 
             warnings.warn(

@@ -188,7 +188,11 @@ class Trainer:
         checkpoints written before ema_params was part of the tree restore
         with the teacher RE-SEEDED from the restored student (correct up to
         EMA lag — far better than the random teacher a fresh init gives)."""
-        from mamba_unet_tpu.utils import latest_step, restore_checkpoint
+        from mamba_unet_tpu.utils import (
+            checkpoint_top_keys,
+            latest_step,
+            restore_checkpoint,
+        )
 
         cfg = self.config
         if not (cfg.resume and cfg.snapshot_dir):
@@ -197,11 +201,13 @@ class Trainer:
         if step is None:
             return 0
         target = self._periodic_tree()
-        try:
-            restored = restore_checkpoint(cfg.snapshot_dir, step, target)
-        except Exception:
-            if "ema_params" not in target:
-                raise
+        # Legacy detection by STRUCTURE (orbax metadata), not by catching
+        # restore failures: a corrupted new-format checkpoint must surface
+        # its real error, not silently resume with the EMA teacher replaced
+        # by a student copy.
+        saved_keys = checkpoint_top_keys(cfg.snapshot_dir, step)
+        if ("ema_params" in target and saved_keys is not None
+                and "ema_params" not in saved_keys):
             legacy = {k: v for k, v in target.items() if k != "ema_params"}
             restored = restore_checkpoint(cfg.snapshot_dir, step, legacy)
             restored["ema_params"] = jax.tree_util.tree_map(
@@ -211,6 +217,8 @@ class Trainer:
                 "periodic checkpoint at step %d predates ema_params; "
                 "re-seeding the EMA teacher from the restored student", step
             )
+        else:
+            restored = restore_checkpoint(cfg.snapshot_dir, step, target)
         self.state = self.state.replace(**restored)
         log.info("resumed from %s @ step %d", cfg.snapshot_dir, step)
         return step
@@ -229,7 +237,12 @@ class Trainer:
         cfg = self.config
         history = []
         it = it0 = self.try_resume()
-        (best_dice,) = self._load_best_marks() if it0 else (0.0,)
+        # Marks load whenever resume is REQUESTED, not only when a periodic
+        # checkpoint was found: a run killed after a best save but before the
+        # first periodic save leaves marks + best_* but no state_* — gating
+        # on it0 would reset best to 0.0 and let the first eval overwrite
+        # the better best lineage (which cli/test.py then loads).
+        (best_dice,) = self._load_best_marks() if cfg.resume else (0.0,)
         tb = None
         if cfg.tensorboard and cfg.snapshot_dir:
             from mamba_unet_tpu.utils.experiment import TensorboardLogger

@@ -1,6 +1,7 @@
 """Utilities: checkpointing, logging, config."""
 
 from mamba_unet_tpu.utils.checkpoint import (
+    checkpoint_top_keys,
     latest_step,
     load_best_marks,
     restore_checkpoint,
@@ -13,6 +14,7 @@ __all__ = [
     "save_checkpoint",
     "restore_checkpoint",
     "latest_step",
+    "checkpoint_top_keys",
     "save_best_marks",
     "load_best_marks",
     "compute_sdf",

@@ -51,6 +51,22 @@ def restore_checkpoint(
     return ckptr.restore(path, target)
 
 
+def checkpoint_top_keys(
+    directory: str, step: int, name: str = "state"
+) -> Optional[set]:
+    """Top-level keys of a saved tree via orbax metadata (no array reads),
+    or None when the metadata is unreadable. Lets resume distinguish a
+    LEGACY checkpoint (a key genuinely absent from the saved tree) from a
+    CORRUPTED one (key present but restore fails) — a blanket
+    try/except around the restore cannot tell these apart."""
+    path = os.path.abspath(os.path.join(directory, f"{name}_{step}"))
+    try:
+        md = _checkpointer().metadata(path)
+        return set(md.item_metadata.tree.keys())
+    except Exception:
+        return None
+
+
 _BEST_MARKS_FILE = "best_marks.json"
 
 
@@ -86,5 +102,8 @@ def load_best_marks(directory: str) -> Dict[str, float]:
         with open(path) as f:
             got = json.load(f)
         return {str(k): float(v) for k, v in got.items()}
-    except (OSError, ValueError):
+    except (OSError, ValueError, TypeError, AttributeError):
+        # TypeError: non-numeric values ({"best": null} / lists);
+        # AttributeError: top-level JSON not an object — both count as
+        # "unreadable", per the contract above.
         return {}

@@ -207,3 +207,26 @@ def test_resume_preserves_best_dice_mark(tmp_path):
     save_best_marks(snap, {"best2": 0.5})
     got = load_best_marks(snap)
     assert got["best2"] == 0.5 and got["best"] == pytest.approx(0.9)
+
+
+def test_best_marks_unreadable_sidecar_returns_empty(tmp_path):
+    """The loader's contract is '{} when absent or unreadable' — including
+    non-numeric values and a non-object top level (hand edits, partial
+    foreign writes), which must not crash the next best save."""
+    import json
+    import os
+
+    from mamba_unet_tpu.utils import load_best_marks, save_best_marks
+
+    snap = str(tmp_path)
+    path = os.path.join(snap, "best_marks.json")
+    for bad in ('{"best": null}', '{"best": [0.8]}', "[0.1, 0.2]",
+                "not json at all"):
+        with open(path, "w") as f:
+            f.write(bad)
+        assert load_best_marks(snap) == {}
+        # and a save over the bad sidecar recovers it
+        save_best_marks(snap, {"best": 0.7})
+        assert load_best_marks(snap) == {"best": 0.7}
+        with open(path) as f:
+            assert json.load(f) == {"best": 0.7}
