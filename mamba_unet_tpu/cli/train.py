@@ -89,6 +89,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "kill-and-resume, beyond the reference)")
     p.add_argument("--ckpt_every", type=int, default=3000,
                    help="periodic (resumable) checkpoint cadence")
+    p.add_argument("--grad_accum_steps", type=int, default=1,
+                   help="microbatches per optimizer update inside one jitted "
+                        "step (activation memory scales with batch/k; the "
+                        "reference's --accumulation-steps is parsed but dead "
+                        "— here it is real)")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
     p.add_argument("--scan_impl", type=str, default=None,
                    choices=["auto", "bidir", "tm", "pallas", "xla", "folded"],
@@ -242,6 +247,7 @@ def main(argv=None) -> int:
         snapshot_dir=args.snapshot_dir,
         resume=args.resume,
         ckpt_every=args.ckpt_every,
+        grad_accum_steps=args.grad_accum_steps,
         in_channels=(args.num_classes if args.method == "mad_pretrain" else 1),
     )
 

@@ -54,6 +54,18 @@ class TrainConfig:
     log_every: int = 50
     tensorboard: bool = False
     resume: bool = False
+    # Gradient accumulation: split each batch into k microbatches inside ONE
+    # jitted step (lax.scan over fwd+bwd, grads averaged, one optimizer
+    # update) — peak activation memory scales with batch_size/k, enabling
+    # effective batches beyond HBM. The reference PARSES
+    # --accumulation-steps but never uses it (dead config,
+    # /root/reference/code/config.py:102-104; SURVEY §2.9) — here it is
+    # real. step/LR/eval semantics are unchanged (one loop iteration = one
+    # optimizer update). NB: grads are the gradient of the MEAN of
+    # per-microbatch losses — identical to the full-batch gradient for
+    # batch-mean losses (CE/MSE); the batch-holistic Dice term becomes
+    # per-microbatch Dice (the reference's semantics at the smaller batch).
+    grad_accum_steps: int = 1
 
 
 def fully_supervised_loss(model, variables, batch, rng, step):
@@ -89,6 +101,12 @@ class Trainer:
     ):
         self.model = model
         self.config = config
+        if config.grad_accum_steps > 1 and (
+                config.batch_size % config.grad_accum_steps):
+            raise ValueError(
+                f"batch_size={config.batch_size} not divisible by "
+                f"grad_accum_steps={config.grad_accum_steps}"
+            )
         self.method = method
         self.mesh = mesh if mesh is not None else make_mesh()
         self.tx = tx if tx is not None else poly_sgd(
@@ -114,16 +132,53 @@ class Trainer:
     # --- jitted step ---------------------------------------------------
     def _train_step(self, state: TrainState, batch) -> Tuple[TrainState, Dict]:
         rng = jax.random.fold_in(jax.random.key(self.config.seed), state.step)
+        k = self.config.grad_accum_steps
 
-        def loss_fn(params):
+        def loss_fn(params, batch_stats, mb, mb_rng):
+            variables = {"params": params}
+            if batch_stats:
+                variables["batch_stats"] = batch_stats
             loss, aux = self.method(
-                self.model, state.variables(params), batch, rng, state.step
+                self.model, variables, mb, mb_rng, state.step
             )
             return loss, aux
 
-        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
-        state = state.apply_gradients(grads, aux.get("batch_stats"))
-        logs = dict(aux.get("logs", {}))
+        if k <= 1:
+            (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, state.batch_stats, batch, rng
+            )
+            new_bs = aux.get("batch_stats")
+            logs = dict(aux.get("logs", {}))
+        else:
+            # microbatch scan: fwd+bwd once per microbatch (activations for
+            # ONE microbatch live at a time), grads accumulated fp32-wise in
+            # a param-sized tree, averaged, ONE optimizer update.
+            micro = jax.tree_util.tree_map(
+                lambda x: x.reshape((k, x.shape[0] // k) + x.shape[1:]),
+                batch,
+            )
+
+            def body(carry, xs):
+                g_acc, bs = carry
+                mb, i = xs
+                (loss, aux), g = jax.value_and_grad(
+                    loss_fn, has_aux=True
+                )(state.params, bs, mb, jax.random.fold_in(rng, i))
+                g_acc = jax.tree_util.tree_map(jnp.add, g_acc, g)
+                bs = aux.get("batch_stats") or bs
+                return (g_acc, bs), dict(aux.get("logs", {}))
+
+            g0 = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            (g_sum, new_bs), logs_mb = jax.lax.scan(
+                body, (g0, state.batch_stats), (micro, jnp.arange(k))
+            )
+            grads = jax.tree_util.tree_map(lambda g: g / k, g_sum)
+            logs = jax.tree_util.tree_map(
+                lambda x: jnp.mean(x, axis=0), logs_mb
+            )
+            new_bs = new_bs if new_bs else None
+
+        state = state.apply_gradients(grads, new_bs)
         logs["lr"] = poly_lr(self.config.base_lr, self.config.max_iterations)(
             state.step
         )
