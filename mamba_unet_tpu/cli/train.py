@@ -93,7 +93,8 @@ def build_parser() -> argparse.ArgumentParser:
                    help="microbatches per optimizer update inside one jitted "
                         "step (activation memory scales with batch/k; the "
                         "reference's --accumulation-steps is parsed but dead "
-                        "— here it is real)")
+                        "— here it is real). Single-model methods only; "
+                        "multi-model trainers reject >1 loudly")
     p.add_argument("--bf16", action="store_true", help="bfloat16 compute dtype")
     p.add_argument("--scan_impl", type=str, default=None,
                    choices=["auto", "bidir", "tm", "pallas", "xla", "folded"],

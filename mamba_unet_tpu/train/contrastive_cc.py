@@ -56,6 +56,8 @@ def _minmax_normalize(soft):
 
 
 class ContrastiveConsistencyTrainer(Trainer):
+    supports_grad_accum = False  # EMA + cross-model step, not the base step
+
     def __init__(self, model, config: TrainConfig, model2=None,
                  labeled_bs: int = 12, conf_thresh: float = 0.95,
                  consistency1: float = 1.0, consistency2: float = 0.1,

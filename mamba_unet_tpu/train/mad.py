@@ -68,6 +68,8 @@ class MADFineTuneTrainer(Trainer):
     accidentally evaluated on the SEG model's softmax. Here the mad Dice uses
     the mad model's own output (the evident intent)."""
 
+    supports_grad_accum = False  # three-model stacked step, not the base step
+
     def __init__(self, seg_model, mad_model, config: TrainConfig, **kw):
         self.mad_model = mad_model
         super().__init__(seg_model, config, **kw)

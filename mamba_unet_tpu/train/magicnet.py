@@ -68,6 +68,8 @@ def magic_dice_labels(probs, labels, weight_map=None):
 
 
 class MagicNetTrainer(Trainer):
+    supports_grad_accum = False  # cube-shuffle teacher step, not the base step
+
     def __init__(self, model, config: TrainConfig, labeled_bs: int = 12,
                  cube_size: int = 32, consistency: float = 0.1,
                  consistency_rampup: float = 200.0, rampup_stride: int = 350,

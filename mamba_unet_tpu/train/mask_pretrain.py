@@ -23,6 +23,8 @@ from mamba_unet_tpu.train.trainer import TrainConfig, Trainer
 
 
 class MaskPretrainTrainer(Trainer):
+    supports_grad_accum = False  # masked-recon step, not the base step
+
     def __init__(self, model, config: TrainConfig, cube_size: int = 32,
                  masked_rate: float = 0.25, loc_weight: float = 0.1, **kw):
         self.cube_size = cube_size

@@ -68,6 +68,8 @@ def _sup_ce_dice(logits, labels):
 
 
 class MeanTeacherTrainer(Trainer):
+    supports_grad_accum = False  # EMA-teacher step, not the base step
+
     def __init__(self, model, config: TrainConfig, labeled_bs: int = 8,
                  consistency: float = 0.1, consistency_rampup: float = 200.0,
                  ema_decay: float = 0.99, warmup_iters: int = 1000, **kw):
@@ -206,6 +208,8 @@ class CrossTeachingTrainer(Trainer):
     checkpoint (``best`` / ``best2``), and a periodic checkpoint carries both
     param/opt states for kill-and-resume (which the reference lacks — its
     30k-iteration semi runs restart from zero)."""
+
+    supports_grad_accum = False  # two-model cross step, not the base step
 
     def __init__(self, model, config: TrainConfig, model2=None, labeled_bs: int = 8,
                  consistency: float = 0.1, consistency_rampup: float = 200.0, **kw):

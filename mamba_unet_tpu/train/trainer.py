@@ -91,6 +91,12 @@ def fully_supervised_loss(model, variables, batch, rng, step):
 
 
 class Trainer:
+    # Subclasses whose jitted step is NOT the base microbatch-scannable
+    # _train_step (multi-model methods: mean teacher, cross-teaching, ...)
+    # set this False so grad_accum_steps>1 fails loudly instead of being
+    # silently ignored.
+    supports_grad_accum: bool = True
+
     def __init__(
         self,
         model,
@@ -101,12 +107,18 @@ class Trainer:
     ):
         self.model = model
         self.config = config
-        if config.grad_accum_steps > 1 and (
-                config.batch_size % config.grad_accum_steps):
-            raise ValueError(
-                f"batch_size={config.batch_size} not divisible by "
-                f"grad_accum_steps={config.grad_accum_steps}"
-            )
+        if config.grad_accum_steps > 1:
+            if not self.supports_grad_accum:
+                raise ValueError(
+                    f"{type(self).__name__} does not support "
+                    "grad_accum_steps>1: its train step is not the base "
+                    "microbatch-scannable step"
+                )
+            if config.batch_size % config.grad_accum_steps:
+                raise ValueError(
+                    f"batch_size={config.batch_size} not divisible by "
+                    f"grad_accum_steps={config.grad_accum_steps}"
+                )
         self.method = method
         self.mesh = mesh if mesh is not None else make_mesh()
         self.tx = tx if tx is not None else poly_sgd(

@@ -53,6 +53,8 @@ class TriState(struct.PyTreeNode):
 class WeakScribbleTrainer(Trainer):
     """Three-network scribble-supervised trainer (Weak-Mamba-UNet)."""
 
+    supports_grad_accum = False  # three-network trio step, not the base step
+
     def __init__(self, model, config: TrainConfig, model2, model3,
                  ignore_index: int = None, pce_only: bool = False, **kw):
         self.model2 = model2

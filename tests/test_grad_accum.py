@@ -103,3 +103,14 @@ def test_grad_accum_validates_divisibility():
                       grad_accum_steps=3)
     with pytest.raises(ValueError, match="not divisible"):
         Trainer(TinyNet(), cfg, method=mean_ce_method)
+
+
+def test_grad_accum_rejected_by_multi_model_trainers():
+    """Trainers whose jitted step is not the base microbatch-scannable step
+    must fail loudly rather than silently ignore grad_accum_steps."""
+    from mamba_unet_tpu.train.methods import MeanTeacherTrainer
+
+    cfg = TrainConfig(batch_size=8, patch_size=(16, 16), num_classes=4,
+                      grad_accum_steps=2)
+    with pytest.raises(ValueError, match="does not support"):
+        MeanTeacherTrainer(TinyNet(), cfg)
