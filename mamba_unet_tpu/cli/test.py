@@ -62,37 +62,20 @@ def run_inference(args) -> dict:
         os.environ.get("JAX_COMPILATION_CACHE_DIR",
                        os.path.expanduser("~/.jax_cache")),
     )
-    import jax.numpy as jnp
-
     from mamba_unet_tpu.data import VolumeDataset
     from mamba_unet_tpu.data.nifti import write_nifti
     from mamba_unet_tpu.eval.inference import test_single_volume
     from mamba_unet_tpu.eval.metrics import asd, dice_binary, hd95
-    from mamba_unet_tpu.models import net_factory
-    from mamba_unet_tpu.utils import latest_step, restore_checkpoint
+    from mamba_unet_tpu.utils import load_model_snapshot
     from scipy.ndimage import zoom as nd_zoom
 
     def build(name, in_ch, ckpt, ckpt_name=None):
         """Build a net + load its snapshot. ``ckpt_name`` selects a member
         of THIS snapshot only — ``--ckpt_name best2`` must not leak into the
         denoiser load (which always takes its own 'best'/'state')."""
-        m = net_factory(name, num_classes=args.num_classes)
-        smp = jnp.zeros((1, *args.patch_size, in_ch), jnp.float32)
-        v = jax.jit(m.init)(jax.random.key(0), smp)
-        if ckpt:
-            nm = ckpt_name or "best"
-            step = latest_step(ckpt, nm)
-            if step is None and ckpt_name is None:
-                nm = "state"
-                step = latest_step(ckpt)
-            assert step is not None, f"no '{nm}' checkpoint under {ckpt}"
-            target = {"params": v["params"],
-                      "batch_stats": v.get("batch_stats", {})}
-            restored = restore_checkpoint(ckpt, step, target, nm)
-            v = {"params": restored["params"]}
-            if restored.get("batch_stats"):
-                v["batch_stats"] = restored["batch_stats"]
-        return m, v
+        return load_model_snapshot(
+            name, args.num_classes, args.patch_size, in_ch, ckpt, ckpt_name
+        )
 
     model, variables = build(args.model, 1, args.checkpoint, args.ckpt_name)
     den_model = den_variables = None

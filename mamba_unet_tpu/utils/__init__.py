@@ -4,6 +4,7 @@ from mamba_unet_tpu.utils.checkpoint import (
     checkpoint_top_keys,
     latest_step,
     load_best_marks,
+    load_model_snapshot,
     restore_checkpoint,
     save_best_marks,
     save_checkpoint,
@@ -17,5 +18,6 @@ __all__ = [
     "checkpoint_top_keys",
     "save_best_marks",
     "load_best_marks",
+    "load_model_snapshot",
     "compute_sdf",
 ]

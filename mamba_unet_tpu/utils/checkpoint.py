@@ -67,6 +67,47 @@ def checkpoint_top_keys(
         return None
 
 
+def load_model_snapshot(
+    name: str,
+    num_classes: int,
+    patch_size,
+    in_channels: int,
+    directory: Optional[str],
+    ckpt_name: Optional[str] = None,
+):
+    """Build a net via ``net_factory`` and restore inference variables from
+    an orbax snapshot dir (the shared load of ``cli.test`` / ``cli.export``).
+
+    ``ckpt_name`` selects a member of THIS snapshot only (multi-model
+    trainers save ``best``/``best2``/``best3``); default tries ``best`` and
+    falls back to the latest periodic ``state``. ``directory=None`` returns
+    the seed-0 initialization (useful for structure-only consumers).
+    Returns ``(model, variables)`` with ``variables`` holding ``params``
+    (+ ``batch_stats`` when the net has any).
+    """
+    import jax.numpy as jnp
+
+    from mamba_unet_tpu.models import net_factory  # lazy: avoid cycle
+
+    model = net_factory(name, num_classes=num_classes)
+    sample = jnp.zeros((1, *patch_size, in_channels), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.key(0), sample)
+    if directory:
+        nm = ckpt_name or "best"
+        step = latest_step(directory, nm)
+        if step is None and ckpt_name is None:
+            nm = "state"
+            step = latest_step(directory)
+        assert step is not None, f"no '{nm}' checkpoint under {directory}"
+        target = {"params": variables["params"],
+                  "batch_stats": variables.get("batch_stats", {})}
+        restored = restore_checkpoint(directory, step, target, nm)
+        variables = {"params": restored["params"]}
+        if restored.get("batch_stats"):
+            variables["batch_stats"] = restored["batch_stats"]
+    return model, variables
+
+
 _BEST_MARKS_FILE = "best_marks.json"
 
 
