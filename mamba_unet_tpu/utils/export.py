@@ -78,6 +78,48 @@ def export_predict(
     return _jex.export(fwd, **kwargs)(spec)
 
 
+def export_lm_generate(
+    model,
+    variables,
+    prompt_len: int,
+    max_new_tokens: int,
+    batch: Union[int, str] = "b",
+    temperature: float = 1.0,
+    top_k: int = 1,
+    top_p: float = 0.0,
+    platforms: Optional[Sequence[str]] = None,
+) -> "_jex.Exported":
+    """Export the LM's fused prefill + ``lax.scan`` decode as ONE artifact:
+    ``tokens[b, prompt_len + max_new_tokens] = f(input_ids[b, prompt_len],
+    seed[])``.
+
+    The whole generation loop ships inside the StableHLO (the reference
+    needs CUDA-graph capture at RUNTIME for the same effect,
+    ``/root/reference/mamba/mamba_ssm/utils/generation.py:243-377``; here it
+    is a deployable file). Sampling config is baked in; the PRNG key is
+    built inside from the ``seed`` scalar so the artifact's ABI is plain
+    integer arrays.
+    """
+    from mamba_unet_tpu.models.mamba_lm import generate  # lazy: avoid cycle
+
+    def fn(input_ids, seed):
+        return generate(model, variables, input_ids,
+                        max_new_tokens=max_new_tokens,
+                        temperature=temperature, top_k=top_k, top_p=top_p,
+                        rng=jax.random.key(seed))
+
+    if isinstance(batch, str):
+        (b,) = _jex.symbolic_shape(batch)
+    else:
+        b = int(batch)
+    ids_spec = jax.ShapeDtypeStruct((b, int(prompt_len)), jnp.int32)
+    seed_spec = jax.ShapeDtypeStruct((), jnp.uint32)
+    kwargs = {}
+    if platforms is not None:
+        kwargs["platforms"] = tuple(platforms)
+    return _jex.export(jax.jit(fn), **kwargs)(ids_spec, seed_spec)
+
+
 def save_exported(exported: "_jex.Exported", path: str) -> str:
     """Write the serialized artifact; returns ``path``."""
     data = exported.serialize()

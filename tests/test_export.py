@@ -71,6 +71,33 @@ def test_export_pinned_batch_rejects_other_sizes(tmp_path, rng):
         jax.jit(loaded.call)(x4)
 
 
+def test_export_lm_generate_roundtrip(tmp_path):
+    """The whole prefill + scan-decode generation loop ships as one
+    artifact; greedy tokens from the loaded artifact must equal the direct
+    ``generate()`` call (integer outputs — exact)."""
+    from mamba_unet_tpu.models.mamba_lm import MambaLMHeadModel, generate
+    from mamba_unet_tpu.utils.export import export_lm_generate
+
+    model = MambaLMHeadModel(vocab_size=61, d_model=32, n_layer=2)
+    ids0 = jnp.zeros((1, 6), jnp.int32)
+    variables = jax.jit(model.init)(jax.random.key(0), ids0)
+    exported = export_lm_generate(model, variables, prompt_len=6,
+                                  max_new_tokens=5)
+    loaded = load_exported(
+        save_exported(exported, os.path.join(tmp_path, "lm.jaxexport")))
+    for bsz in (2, 3):
+        prompts = jnp.asarray(
+            np.arange(bsz * 6).reshape(bsz, 6) % 61, jnp.int32)
+        got = jax.jit(loaded.call)(prompts, jnp.uint32(7))
+        want = generate(model, variables, prompts, max_new_tokens=5,
+                        rng=jax.random.key(jnp.uint32(7)))
+        assert got.shape == (bsz, 11)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+        # the prompt is echoed back unchanged
+        np.testing.assert_array_equal(np.asarray(got[:, :6]),
+                                      np.asarray(prompts))
+
+
 def test_export_cli_smoke(tmp_path, rng):
     """cli.export (no checkpoint = seed-0 init) produces an artifact that
     matches rebuilding the same net + init directly."""
