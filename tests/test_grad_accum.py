@@ -106,11 +106,84 @@ def test_grad_accum_validates_divisibility():
 
 
 def test_grad_accum_rejected_by_multi_model_trainers():
-    """Trainers whose jitted step is not the base microbatch-scannable step
-    must fail loudly rather than silently ignore grad_accum_steps."""
-    from mamba_unet_tpu.train.methods import MeanTeacherTrainer
+    """Trainers whose jitted step is not a microbatch-scannable step must
+    fail loudly rather than silently ignore grad_accum_steps."""
+    from mamba_unet_tpu.train.methods import UAMTTrainer
 
     cfg = TrainConfig(batch_size=8, patch_size=(16, 16), num_classes=4,
                       grad_accum_steps=2)
     with pytest.raises(ValueError, match="does not support"):
-        MeanTeacherTrainer(TinyNet(), cfg)
+        UAMTTrainer(TinyNet(), cfg, labeled_bs=4)
+
+
+def _mean_teacher(k, warmup=1000, seed=0):
+    from mamba_unet_tpu.train.methods import MeanTeacherTrainer
+
+    cfg = TrainConfig(base_lr=0.05, max_iterations=100, batch_size=8,
+                      patch_size=(16, 16), num_classes=4, seed=seed,
+                      grad_accum_steps=k)
+    return MeanTeacherTrainer(TinyNet(), cfg, labeled_bs=4,
+                              warmup_iters=warmup)
+
+
+def test_mean_teacher_grad_accum_parity_on_duplicated_batch():
+    """With the labeled/unlabeled sets built as k identical copies and the
+    consistency term still gated (step < warmup), every stratified
+    microbatch equals the full batch up to duplication — so the k=2 update
+    must match k=1 (tolerance: Dice's smooth term breaks exact sum-scaling
+    at ~1e-5)."""
+    rng = np.random.default_rng(3)
+    half_img = rng.normal(size=(2, 16, 16, 1))
+    half_lbl = rng.integers(0, 4, size=(2, 16, 16))
+    unl = rng.normal(size=(2, 16, 16, 1))
+    batch = {
+        "image": jnp.asarray(
+            np.concatenate([half_img, half_img, unl, unl]), jnp.float32),
+        "label": jnp.asarray(
+            np.concatenate([half_lbl, half_lbl,
+                            np.zeros_like(half_lbl),
+                            np.zeros_like(half_lbl)]), jnp.int32),
+    }
+    t1, t2 = _mean_teacher(1), _mean_teacher(2)
+    for _ in range(3):
+        t1.state, logs1 = t1._step(t1.state, batch)
+        t2.state, logs2 = t2._step(t2.state, batch)
+    np.testing.assert_allclose(float(logs1["loss_total"]),
+                               float(logs2["loss_total"]),
+                               rtol=1e-4, atol=1e-6)
+    flat1 = jax.tree_util.tree_leaves_with_path(t1.state.params)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(t2.state.params))
+    for path, p in flat1:
+        np.testing.assert_allclose(
+            np.asarray(p), np.asarray(flat2[path]), rtol=1e-4, atol=1e-6,
+            err_msg=jax.tree_util.keystr(path))
+    # the EMA teacher updated ONCE per optimizer step in both
+    ema1 = jax.tree_util.tree_leaves(t1.state.ema_params)[0]
+    ema2 = jax.tree_util.tree_leaves(t2.state.ema_params)[0]
+    np.testing.assert_allclose(np.asarray(ema1), np.asarray(ema2),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_mean_teacher_grad_accum_trains_with_consistency():
+    """Consistency active (warmup 0): finite losses, params move, the EMA
+    teacher trails the student (not equal, not random-frozen)."""
+    batch = _make_batch()
+    t = _mean_teacher(2, warmup=0)
+    p0 = np.asarray(jax.tree_util.tree_leaves(t.state.params)[0])
+    for _ in range(4):
+        t.state, logs = t._step(t.state, batch)
+    assert np.isfinite(float(logs["loss_total"]))
+    assert float(logs["loss_cons"]) >= 0.0
+    p_now = np.asarray(jax.tree_util.tree_leaves(t.state.params)[0])
+    e_now = np.asarray(jax.tree_util.tree_leaves(t.state.ema_params)[0])
+    assert not np.allclose(p0, p_now)
+    assert not np.allclose(p_now, e_now)
+
+
+def test_mean_teacher_grad_accum_stratified_divisibility():
+    from mamba_unet_tpu.train.methods import MeanTeacherTrainer
+
+    cfg = TrainConfig(batch_size=8, patch_size=(16, 16), num_classes=4,
+                      grad_accum_steps=2)
+    with pytest.raises(ValueError, match="stratified"):
+        MeanTeacherTrainer(TinyNet(), cfg, labeled_bs=3)
