@@ -46,7 +46,13 @@ def build_parser():
                         "snapshot only (default: 'best', falling back to "
                         "'state'); multi-model trainers save per-network "
                         "bests as best/best2/best3. The denoiser snapshot "
-                        "always loads its own 'best' (fallback 'state')")
+                        "loads its own 'best' (fallback 'state') unless "
+                        "--denoiser_ckpt_name says otherwise")
+    p.add_argument("--denoiser_ckpt_name", type=str, default=None,
+                   help="checkpoint name prefix for the DENOISER snapshot "
+                        "(e.g. best3 to pick the fine-tuned 'ema' denoiser "
+                        "out of a mad_finetune snapshot, whose trio saves as "
+                        "best=seg / best2=mad / best3=den)")
     return p
 
 
@@ -81,7 +87,8 @@ def run_inference(args) -> dict:
     den_model = den_variables = None
     if args.denoiser_model:
         den_model, den_variables = build(
-            args.denoiser_model, args.num_classes, args.denoiser_checkpoint)
+            args.denoiser_model, args.num_classes, args.denoiser_checkpoint,
+            args.denoiser_ckpt_name)
 
     def _main(out):
         return out[0] if isinstance(out, (tuple, list)) else out

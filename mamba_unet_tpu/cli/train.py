@@ -294,6 +294,10 @@ def main(argv=None) -> int:
         result = trainer.fit(Loader(train_ds, sampler), val_ds)
         logging.info("done: %d iterations, best val dice %.4f",
                      result["iterations"], result["best_dice"])
+        # end-of-run protocol (train_Semi_MagicNet_3D_for_BTCV.py:328-337,
+        # 416-417): full sliding-window eval of the SAVED best model + the
+        # per-case metric array dump next to the snapshot
+        trainer.final_validation(val_ds)
         return 0
 
     mad_transform = None

@@ -228,14 +228,123 @@ class ContrastiveConsistencyTrainer(Trainer):
                                  self.ema_decay),
         ), logs
 
+    # --- checkpoint/resume ------------------------------------------------
+    # The reference's contrastive script has the RICHEST save/restore of the
+    # whole zoo: save_checkpoint_4_2C persists model+optimizer+both
+    # projectors+best mark per network (util.py:54-94, called at
+    # train_Semi_Contrastive_Consistency.py:633-690) and auto-restores on
+    # start (:328-358). Here ONE periodic orbax tree carries both models,
+    # all four projector states (trained p3/p4 + EMA p1/p2) and the step;
+    # the learned CTAugment policy rides in a cta_state.json sidecar.
+
+    def _periodic_tree(self):
+        c = self.cc
+        return {"step": c.step,
+                "params1": c.s1.params, "batch_stats1": c.s1.batch_stats,
+                "opt_state1": c.s1.opt_state,
+                "params2": c.s2.params, "batch_stats2": c.s2.batch_stats,
+                "opt_state2": c.s2.opt_state,
+                "p3_params": c.p3.params, "p3_opt": c.p3.opt_state,
+                "p4_params": c.p4.params, "p4_opt": c.p4.opt_state,
+                "p1_params": c.p1_params, "p2_params": c.p2_params}
+
+    def try_resume(self) -> int:
+        """Restore both models + projector trio states from the newest
+        periodic checkpoint (reference auto-restore,
+        train_Semi_Contrastive_Consistency.py:328-358)."""
+        from mamba_unet_tpu.parallel import replicated
+        from mamba_unet_tpu.train.trainer import log
+        from mamba_unet_tpu.utils import latest_step, restore_checkpoint
+
+        cfg = self.config
+        if not (cfg.resume and cfg.snapshot_dir):
+            return 0
+        step = latest_step(cfg.snapshot_dir)
+        if step is None:
+            return 0
+        got = restore_checkpoint(cfg.snapshot_dir, step, self._periodic_tree())
+
+        def step_copy():
+            # every state needs its OWN step buffer: the donated CCState
+            # holds five step leaves and duplicate donation is an error
+            return jnp.array(got["step"])
+
+        c = self.cc
+        self.cc = jax.device_put(
+            CCState(
+                step=step_copy(),
+                s1=c.s1.replace(step=step_copy(), params=got["params1"],
+                                batch_stats=got["batch_stats1"],
+                                opt_state=got["opt_state1"]),
+                s2=c.s2.replace(step=step_copy(), params=got["params2"],
+                                batch_stats=got["batch_stats2"],
+                                opt_state=got["opt_state2"]),
+                p3=c.p3.replace(step=step_copy(), params=got["p3_params"],
+                                opt_state=got["p3_opt"]),
+                p4=c.p4.replace(step=step_copy(), params=got["p4_params"],
+                                opt_state=got["p4_opt"]),
+                p1_params=got["p1_params"],
+                p2_params=got["p2_params"],
+            ),
+            replicated(self.mesh),
+        )
+        self.state = self.cc.s1
+        log.info("resumed contrastive-CC from %s @ step %d",
+                 cfg.snapshot_dir, step)
+        return int(step)
+
+    def predict_fn2(self):
+        """Jitted slice-inference fn for model 2."""
+        cc = self.cc
+
+        @jax.jit
+        def fwd(params, batch_stats, x):
+            v = {"params": params}
+            if batch_stats:
+                v["batch_stats"] = batch_stats
+            out = self.model2.apply(v, x)
+            return out[0] if isinstance(out, (tuple, list)) else out
+
+        return lambda x: fwd(cc.s2.params, cc.s2.batch_stats, x)
+
+    def evaluate2(self, val_dataset):
+        """Model-2 val Dice (the reference evaluates both models,
+        train_Semi_Contrastive_Consistency.py:596-676)."""
+        from mamba_unet_tpu.eval import evaluate_slice_volumes
+
+        cfg = self.config
+        arr = evaluate_slice_volumes(
+            (val_dataset[i] for i in range(len(val_dataset))),
+            self.predict_fn2(), cfg.num_classes,
+            patch_size=cfg.patch_size, batch_size=cfg.eval_batch_size,
+        )
+        return float(arr[:, :, 0].mean())
+
     def fit(self, train_loader, val_dataset=None, cta=None, cta_transform=None):
         import time
 
         from mamba_unet_tpu.train.trainer import log
+        from mamba_unet_tpu.utils import (
+            load_cta_state,
+            save_best_marks,
+            save_checkpoint,
+            save_cta_state,
+        )
 
         cfg = self.config
-        history, best, it = [], 0.0, 0
+        history = []
         epoch_errors = []
+        it = self.try_resume()
+        best, best2 = (self._load_best_marks(("best", "best2"))
+                       if cfg.resume else (0.0, 0.0))
+        if it and cta is not None and cfg.snapshot_dir:
+            # the learned augmentation policy is part of the reference's
+            # restore contract — resuming without it forgets every rate
+            if load_cta_state(cfg.snapshot_dir, cta):
+                if cta_transform is not None:
+                    cta_transform.refresh_policies()
+                log.info("restored CTAugment policy rates from %s",
+                         cfg.snapshot_dir)
         t0 = time.time()
         per_epoch = max(len(train_loader), 1)
         for batch in train_loader:
@@ -275,7 +384,35 @@ class ContrastiveConsistencyTrainer(Trainer):
                 history.append({"iter": it, "loss": float(logs["loss_total"])})
             if val_dataset is not None and it % cfg.eval_every == 0:
                 dice = self.evaluate(val_dataset)
-                history.append({"iter": it, "val_dice": dice})
-                best = max(best, dice)
-                log.info("iter %d val dice %.4f", it, dice)
-        return {"best_dice": best, "iterations": it, "history": history}
+                dice2 = self.evaluate2(val_dataset)
+                history.append({"iter": it, "val_dice": dice,
+                                "val_dice2": dice2})
+                log.info("iter %d val dice m1 %.4f m2 %.4f", it, dice, dice2)
+                if dice > best:
+                    best = dice
+                    if cfg.snapshot_dir:
+                        save_checkpoint(
+                            cfg.snapshot_dir, it,
+                            {"params": self.cc.s1.params,
+                             "batch_stats": self.cc.s1.batch_stats},
+                            name="best",
+                        )
+                        save_best_marks(cfg.snapshot_dir, {"best": best})
+                if dice2 > best2:
+                    best2 = dice2
+                    if cfg.snapshot_dir:
+                        save_checkpoint(
+                            cfg.snapshot_dir, it,
+                            {"params": self.cc.s2.params,
+                             "batch_stats": self.cc.s2.batch_stats},
+                            name="best2",
+                        )
+                        save_best_marks(cfg.snapshot_dir, {"best2": best2})
+            if cfg.snapshot_dir and it % cfg.ckpt_every == 0:
+                save_checkpoint(cfg.snapshot_dir, it, self._periodic_tree())
+                if cta is not None:
+                    # the policy sidecar travels with the periodic tree so a
+                    # kill between the two loses at most one cadence of rates
+                    save_cta_state(cfg.snapshot_dir, cta)
+        return {"best_dice": best, "best_dice2": best2, "iterations": it,
+                "history": history}

@@ -181,15 +181,77 @@ class MADFineTuneTrainer(Trainer):
             den=ms.den.apply_gradients(grads[2], bs3),
         ), logs
 
+    # --- checkpoint/resume ------------------------------------------------
+    # The reference persists the fine-tuned trio in ONE best checkpoint
+    # ({seg,ema,mad}_state_dict, MAD_FineTuning.py:188-219). Here the trio's
+    # best params save under best/best2/best3 (seg/mad/den) — loadable by
+    # ``cli/test.py --ckpt_name``; the periodic tree carries all three full
+    # states for kill-and-resume (which the reference lacks).
+
+    def _periodic_tree(self):
+        ms = self.mad_state
+        return {"step": ms.step,
+                "seg_params": ms.seg.params,
+                "seg_batch_stats": ms.seg.batch_stats,
+                "seg_opt": ms.seg.opt_state,
+                "mad_params": ms.mad.params,
+                "mad_batch_stats": ms.mad.batch_stats,
+                "mad_opt": ms.mad.opt_state,
+                "den_params": ms.den.params,
+                "den_batch_stats": ms.den.batch_stats,
+                "den_opt": ms.den.opt_state}
+
+    def try_resume(self) -> int:
+        from mamba_unet_tpu.parallel import replicated
+        from mamba_unet_tpu.train.trainer import log
+        from mamba_unet_tpu.utils import latest_step, restore_checkpoint
+
+        cfg = self.config
+        if not (cfg.resume and cfg.snapshot_dir):
+            return 0
+        step = latest_step(cfg.snapshot_dir)
+        if step is None:
+            return 0
+        got = restore_checkpoint(cfg.snapshot_dir, step, self._periodic_tree())
+
+        def step_copy():
+            # four step leaves live in the donated MADState — each needs its
+            # own buffer (duplicate donation is an error)
+            return jnp.array(got["step"])
+
+        ms = self.mad_state
+        self.mad_state = jax.device_put(
+            MADState(
+                step=step_copy(),
+                seg=ms.seg.replace(step=step_copy(), params=got["seg_params"],
+                                   batch_stats=got["seg_batch_stats"],
+                                   opt_state=got["seg_opt"]),
+                mad=ms.mad.replace(step=step_copy(), params=got["mad_params"],
+                                   batch_stats=got["mad_batch_stats"],
+                                   opt_state=got["mad_opt"]),
+                den=ms.den.replace(step=step_copy(), params=got["den_params"],
+                                   batch_stats=got["den_batch_stats"],
+                                   opt_state=got["den_opt"]),
+            ),
+            replicated(self.mesh),
+        )
+        self.state = self.mad_state.seg
+        log.info("resumed MAD fine-tune from %s @ step %d",
+                 cfg.snapshot_dir, step)
+        return int(step)
+
     def fit(self, train_loader, val_dataset=None):
         import time
 
         import numpy as np
 
         from mamba_unet_tpu.train.trainer import log
+        from mamba_unet_tpu.utils import save_best_marks, save_checkpoint
 
         cfg = self.config
-        history, best, it = [], 0.0, 0
+        history = []
+        it = self.try_resume()
+        (best,) = self._load_best_marks() if cfg.resume else (0.0,)
         t0 = time.time()
         for batch in train_loader:
             if it >= cfg.max_iterations:
@@ -211,6 +273,22 @@ class MADFineTuneTrainer(Trainer):
             if val_dataset is not None and it % cfg.eval_every == 0:
                 dice = self.evaluate(val_dataset)
                 history.append({"iter": it, "val_dice": dice})
-                best = max(best, dice)
-                log.info("iter %d val dice %.4f", it, dice)
+                log.info("iter %d val dice %.4f (best %.4f)", it, dice, best)
+                if dice > best:
+                    best = dice
+                    if cfg.snapshot_dir:
+                        # the trio saves at the SAME step under three names —
+                        # the reference's single {seg,ema,mad} best file
+                        ms = self.mad_state
+                        for name, st in (("best", ms.seg), ("best2", ms.mad),
+                                         ("best3", ms.den)):
+                            save_checkpoint(
+                                cfg.snapshot_dir, it,
+                                {"params": st.params,
+                                 "batch_stats": st.batch_stats},
+                                name=name,
+                            )
+                        save_best_marks(cfg.snapshot_dir, {"best": best})
+            if cfg.snapshot_dir and it % cfg.ckpt_every == 0:
+                save_checkpoint(cfg.snapshot_dir, it, self._periodic_tree())
         return {"best_dice": best, "iterations": it, "history": history}

@@ -26,6 +26,7 @@ and accumulated by the host logger.
 
 from __future__ import annotations
 
+import os
 from typing import Tuple
 
 import jax
@@ -102,13 +103,19 @@ class MagicNetTrainer(Trainer):
             lambda r, x: model.init(r, x, method="init_all")
         )(jax.random.key(config.seed), sample)
         opt_state = self.tx.init(variables["params"])
-        self.state = TrainState(
-            step=jnp.zeros((), jnp.int32),
-            params=variables["params"],
-            batch_stats=variables.get("batch_stats", {}),
-            opt_state=opt_state,
-            tx=self.tx,
-            ema_params=jax.tree_util.tree_map(jnp.copy, variables["params"]),
+        from mamba_unet_tpu.parallel import replicated
+
+        self.state = jax.device_put(
+            TrainState(
+                step=jnp.zeros((), jnp.int32),
+                params=variables["params"],
+                batch_stats=variables.get("batch_stats", {}),
+                opt_state=opt_state,
+                tx=self.tx,
+                ema_params=jax.tree_util.tree_map(jnp.copy,
+                                                  variables["params"]),
+            ),
+            replicated(self.mesh),
         )
         self._step = jax.jit(self._train_step, donate_argnums=(0,))
 
@@ -272,15 +279,35 @@ class MagicNetTrainer(Trainer):
         )
         return state, logs
 
+    # --- checkpoint/resume ------------------------------------------------
+    # The base Trainer's periodic tree already carries params + opt_state +
+    # step + ema_params (the teacher). The organ-class histogram the
+    # pseudo-label blender depends on is HOST state — it rides along via the
+    # _host_state hook so a resumed run blends with the learned distribution
+    # instead of restarting from zeros. Reference saves: periodic model at
+    # train_Semi_MagicNet_3D_for_BTCV.py:382-384 (2-D twin :303-311), final
+    # metric dump :416-417.
+
+    def _host_state(self):
+        return {"class_dist": jnp.asarray(
+            self.dist_logger.get_class_dist().astype(np.float64))}
+
+    def _restore_host_state(self, tree):
+        if "class_dist" in tree:
+            self.dist_logger.class_dist = np.asarray(
+                tree["class_dist"], dtype=np.float64)
+            self._hist_accum = []
+
     def fit(self, train_loader, val_dataset=None):
         import time
 
         from mamba_unet_tpu.train.trainer import log
+        from mamba_unet_tpu.utils import save_best_marks, save_checkpoint
 
         cfg = self.config
         history = []
-        best = 0.0
-        it = 0
+        it = self.try_resume()
+        (best,) = self._load_best_marks() if cfg.resume else (0.0,)
         t0 = time.time()
         for batch in train_loader:
             if it >= cfg.max_iterations:
@@ -310,10 +337,77 @@ class MagicNetTrainer(Trainer):
                 history.append({"iter": it, "loss": float(logs["loss_total"])})
             if val_dataset is not None and it % cfg.eval_every == 0:
                 dice = self.evaluate(val_dataset)
-                log.info("iter %d val mean dice %.4f", it, dice)
+                log.info("iter %d val mean dice %.4f (best %.4f)",
+                         it, dice, best)
                 history.append({"iter": it, "val_dice": dice})
-                best = max(best, dice)
+                if dice > best:
+                    best = dice
+                    if cfg.snapshot_dir:
+                        save_checkpoint(
+                            cfg.snapshot_dir, it,
+                            {"params": self.state.params,
+                             "batch_stats": self.state.batch_stats},
+                            name="best",
+                        )
+                        save_best_marks(cfg.snapshot_dir, {"best": best})
+            if cfg.snapshot_dir and it % cfg.ckpt_every == 0:
+                save_checkpoint(cfg.snapshot_dir, it, self._periodic_tree())
         return {"best_dice": best, "iterations": it, "history": history}
+
+    def final_validation(self, test_dataset, save_name: str = "metric_final"):
+        """End-of-run protocol of the reference BTCV script: a full
+        sliding-window ``validation_all_case`` over the test list with the
+        SAVED best model, the per-case metric array dumped as ``.npy``
+        (train_Semi_MagicNet_3D_for_BTCV.py:328-337 final eval + :416-417
+        ``metric_final_{}.npy`` dump). Falls back to the live weights when
+        no best checkpoint exists (e.g. a run without a snapshot dir).
+
+        Returns the (cases, C-1, 4) [dice, hd95, nsd, asd] array."""
+        from mamba_unet_tpu.train.trainer import log
+        from mamba_unet_tpu.utils import latest_step, restore_checkpoint
+
+        cfg = self.config
+        params, batch_stats = self.state.params, self.state.batch_stats
+        step = (latest_step(cfg.snapshot_dir, "best")
+                if cfg.snapshot_dir else None)
+        if step is not None:
+            got = restore_checkpoint(
+                cfg.snapshot_dir, step,
+                {"params": params, "batch_stats": batch_stats}, name="best")
+            params, batch_stats = got["params"], got["batch_stats"]
+            log.info("final validation on saved best_%d", step)
+        else:
+            log.warning("final validation: no saved best — using live weights")
+
+        @jax.jit
+        def fwd(x):
+            out, _ = self.model.apply({"params": params}, x)
+            return out
+
+        if len(cfg.patch_size) == 2:
+            from mamba_unet_tpu.eval import evaluate_slice_volumes
+
+            arr = evaluate_slice_volumes(
+                (test_dataset[i] for i in range(len(test_dataset))),
+                fwd, cfg.num_classes, patch_size=cfg.patch_size,
+                batch_size=cfg.eval_batch_size,
+            )  # (cases, C-1, 2)
+        else:
+            from mamba_unet_tpu.eval.validate_3d import validation_all_case
+
+            stride = (max(self.cube_size // 2, 16),) * 3
+            arr = validation_all_case(
+                test_dataset, fwd, cfg.num_classes,
+                patch_size=tuple(cfg.patch_size), stride=stride,
+            )  # (cases, C-1, 4)
+        arr = np.asarray(arr)
+        log.info("final validation: mean dice %.4f over %d cases",
+                 float(arr[:, :, 0].mean()), arr.shape[0])
+        if cfg.snapshot_dir:
+            path = os.path.join(cfg.snapshot_dir, f"{save_name}.npy")
+            np.save(path, arr)
+            log.info("final metric array -> %s", path)
+        return arr
 
     def predict_fn(self):
         state = self.state

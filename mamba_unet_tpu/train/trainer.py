@@ -234,6 +234,17 @@ class Trainer:
         return mean_dice
 
     # --- resume ----------------------------------------------------------
+    def _host_state(self) -> Dict[str, Any]:
+        """Extra HOST-side state to ride in the periodic checkpoint (beyond
+        the TrainState fields) — e.g. MagicNet's organ-class histogram.
+        Keys must not collide with TrainState field names."""
+        return {}
+
+    def _restore_host_state(self, tree: Dict[str, Any]) -> None:
+        """Inverse of ``_host_state``: re-install restored host-side state.
+        ``tree`` holds only the host keys actually present in the saved
+        checkpoint (legacy checkpoints may predate a host key)."""
+
     def _periodic_tree(self) -> Dict[str, Any]:
         """The pytree saved every ``ckpt_every`` and restored by resume.
         EMA-teacher methods extend it with ``ema_params`` — the reference's
@@ -245,6 +256,7 @@ class Trainer:
                 "step": self.state.step}
         if self.state.ema_params is not None:
             tree["ema_params"] = self.state.ema_params
+        tree.update(self._host_state())
         return tree
 
     def try_resume(self) -> int:
@@ -273,6 +285,12 @@ class Trainer:
         # its real error, not silently resume with the EMA teacher replaced
         # by a student copy.
         saved_keys = checkpoint_top_keys(cfg.snapshot_dir, step)
+        host_keys = set(self._host_state())
+        if saved_keys is not None:
+            # host keys absent from the saved tree (legacy checkpoint):
+            # keep the live value rather than failing the whole restore
+            for k in host_keys - saved_keys:
+                target.pop(k)
         if ("ema_params" in target and saved_keys is not None
                 and "ema_params" not in saved_keys):
             legacy = {k: v for k, v in target.items() if k != "ema_params"}
@@ -286,7 +304,13 @@ class Trainer:
             )
         else:
             restored = restore_checkpoint(cfg.snapshot_dir, step, target)
-        self.state = self.state.replace(**restored)
+        host = {k: restored.pop(k) for k in host_keys if k in restored}
+        # re-assert replication: orbax restores arrays committed to the
+        # default device, and a committed single-device leaf conflicts with
+        # mesh-sharded batches inside the donated jit step
+        self.state = jax.device_put(self.state.replace(**restored),
+                                    replicated(self.mesh))
+        self._restore_host_state(host)
         log.info("resumed from %s @ step %d", cfg.snapshot_dir, step)
         return step
 

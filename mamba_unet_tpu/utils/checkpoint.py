@@ -108,6 +108,61 @@ def load_model_snapshot(
     return model, variables
 
 
+_CTA_STATE_FILE = "cta_state.json"
+
+
+def save_cta_state(directory: str, cta) -> str:
+    """Persist a CTAugment policy's learned state (depth/th/decay + per-op
+    bin rates) to {directory}/cta_state.json, atomically.
+
+    The reference's rich contrastive checkpoint carries the CTA object
+    (``save_checkpoint_4_2C`` docstring lists it and the restore at
+    ``train_Semi_Contrastive_Consistency.py:328-358`` expects it back) —
+    without it a resumed run forgets every learned augmentation rate.
+    JSON (not pickle): human-inspectable and robust across versions.
+    """
+    import numpy as np
+
+    os.makedirs(directory, exist_ok=True)
+    sd = cta.state_dict()
+    payload = {
+        "depth": int(sd["depth"]),
+        "th": float(sd["th"]),
+        "decay": float(sd["decay"]),
+        "rates": {k: [np.asarray(r).tolist() for r in bins]
+                  for k, bins in sd["rates"].items()},
+    }
+    path = os.path.join(directory, _CTA_STATE_FILE)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+    return path
+
+
+def load_cta_state(directory: str, cta) -> bool:
+    """Restore a CTAugment policy saved by ``save_cta_state``; returns True
+    when a state file was found and loaded."""
+    import numpy as np
+
+    path = os.path.join(directory, _CTA_STATE_FILE)
+    try:
+        with open(path) as f:
+            payload = json.load(f)
+    except OSError:
+        return False
+    cta.load_state_dict({
+        "depth": int(payload["depth"]),
+        "th": float(payload["th"]),
+        "decay": float(payload["decay"]),
+        "rates": {k: tuple(np.asarray(r, dtype="f") for r in bins)
+                  for k, bins in payload["rates"].items()},
+    })
+    return True
+
+
 _BEST_MARKS_FILE = "best_marks.json"
 
 
