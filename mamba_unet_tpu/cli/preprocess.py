@@ -17,13 +17,18 @@ def main(argv=None) -> int:
     p.add_argument("--raw_dir", type=str, required=True,
                    help="directory tree containing *frameXX.nii.gz + *_gt.nii.gz")
     p.add_argument("--out_dir", type=str, required=True)
+    p.add_argument("--splits", type=str, default="reference",
+                   choices=["reference", "all"],
+                   help="'reference': write the published train/val/test "
+                        "patient split (reference data/ACDC/*.list); "
+                        "'all': every case into train_slices/all_cases")
     args = p.parse_args(argv)
     logging.basicConfig(level=logging.INFO, stream=sys.stdout,
                         format="%(message)s")
 
     from mamba_unet_tpu.data.preprocess import convert_acdc
 
-    convert_acdc(args.raw_dir, args.out_dir)
+    convert_acdc(args.raw_dir, args.out_dir, splits=args.splits)
     logging.info("wrote %s", args.out_dir)
     return 0
 

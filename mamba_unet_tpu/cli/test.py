@@ -93,9 +93,12 @@ def run_inference(args) -> dict:
     def _main(out):
         return out[0] if isinstance(out, (tuple, list)) else out
 
+    from mamba_unet_tpu.ops.selective_scan_persistent import inference_scan
+
     @jax.jit
     def fwd(x):
-        return _main(model.apply(variables, x))
+        with inference_scan():  # no-grad test: persistent scan forward
+            return _main(model.apply(variables, x))
 
     @jax.jit
     def fwd_both(x):
@@ -103,9 +106,10 @@ def run_inference(args) -> dict:
         # val_2D.test_single_volume_for_trainLabel. One seg pass feeds both
         # the raw-seg and the denoised metric tables (the seg forward
         # dominates; running it twice per case doubled the test wall-clock).
-        seg = _main(model.apply(variables, x))
-        den = _main(den_model.apply(den_variables,
-                                    jax.nn.softmax(seg, axis=-1)))
+        with inference_scan():
+            seg = _main(model.apply(variables, x))
+            den = _main(den_model.apply(den_variables,
+                                        jax.nn.softmax(seg, axis=-1)))
         return seg, den
 
     def case_metrics(pred, label):

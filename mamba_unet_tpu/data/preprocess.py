@@ -70,8 +70,38 @@ def convert_case(
     return image.shape[0]
 
 
-def convert_acdc(raw_dir: str, out_dir: str) -> None:
-    """Walk ACDC raw layout ({patient*/ *_frameXX.nii.gz + *_gt.nii.gz})."""
+# The published ACDC patient split of the reference evaluation protocol
+# (`/root/reference/data/ACDC/val.list` = 10 patients x 2 frames,
+# `test.list` = 20 patients x 2 frames; all remaining 70 patients train).
+# Dataset split definition (factual configuration), recorded here so the
+# real-data gate (scripts/acdc_reproduce.sh) reproduces the reference's
+# exact val/test protocol from the raw nii.gz tree alone.
+REFERENCE_VAL_PATIENTS = frozenset(
+    {2, 19, 28, 30, 39, 45, 78, 82, 85, 87})
+REFERENCE_TEST_PATIENTS = frozenset(
+    {1, 7, 8, 11, 13, 22, 24, 33, 52, 59, 64, 65, 66, 68, 75, 80, 81, 83,
+     84, 93})
+
+
+def _patient_number(case: str) -> Optional[int]:
+    """'patient028_frame01' -> 28 (None if the name doesn't parse)."""
+    base = case.split("_")[0]
+    digits = "".join(ch for ch in base if ch.isdigit())
+    return int(digits) if digits else None
+
+
+def convert_acdc(raw_dir: str, out_dir: str,
+                 splits: str = "reference") -> None:
+    """Walk ACDC raw layout ({patient*/ *_frameXX.nii.gz + *_gt.nii.gz}).
+
+    ``splits="reference"`` (default) additionally writes the reference
+    protocol's ``train.list`` / ``val.list`` / ``test.list`` /
+    ``train_slices.list`` using the published patient split (see
+    ``REFERENCE_VAL_PATIENTS``); per-slice h5s are emitted only for train
+    patients (the reference tree ships slices for the train split only).
+    ``splits="all"`` keeps the old behavior: every case in
+    ``train_slices.list`` + ``all_cases.list``.
+    """
     images = sorted(
         p for p in glob.glob(os.path.join(raw_dir, "**", "*frame*.nii.gz"),
                              recursive=True)
@@ -79,6 +109,7 @@ def convert_acdc(raw_dir: str, out_dir: str) -> None:
         and "_scribble" not in os.path.basename(p)
     )
     slice_ids, case_ids = [], []
+    lists = {"train": [], "val": [], "test": []}
     for img in images:
         gt = img.replace(".nii.gz", "_gt.nii.gz")
         if not os.path.exists(gt):
@@ -86,12 +117,27 @@ def convert_acdc(raw_dir: str, out_dir: str) -> None:
         # ACDC-scribble (WSL4MIS) ships *_scribble.nii.gz next to *_gt
         scrib = img.replace(".nii.gz", "_scribble.nii.gz")
         case = os.path.basename(img).replace(".nii.gz", "")
+        split = "train"
+        if splits == "reference":
+            pn = _patient_number(case)
+            if pn in REFERENCE_VAL_PATIENTS:
+                split = "val"
+            elif pn in REFERENCE_TEST_PATIENTS:
+                split = "test"
         n = convert_case(img, gt, case, out_dir,
+                         write_slices=(split == "train"
+                                       or splits != "reference"),
                          scribble_path=scrib if os.path.exists(scrib)
                          else None)
         case_ids.append(case)
-        slice_ids += [f"{case}_slice_{i}" for i in range(n)]
+        lists[split].append(case)
+        if split == "train" or splits != "reference":
+            slice_ids += [f"{case}_slice_{i}" for i in range(n)]
     with open(os.path.join(out_dir, "train_slices.list"), "w") as f:
         f.write("\n".join(slice_ids) + "\n")
     with open(os.path.join(out_dir, "all_cases.list"), "w") as f:
         f.write("\n".join(case_ids) + "\n")
+    if splits == "reference":
+        for name, ids in lists.items():
+            with open(os.path.join(out_dir, f"{name}.list"), "w") as f:
+                f.write("\n".join(ids) + ("\n" if ids else ""))

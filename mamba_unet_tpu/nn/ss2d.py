@@ -361,35 +361,111 @@ class SS2D(nn.Module):
             # (replaces the reference's torch.flip, mamba_sys.py:403-404).
             # Direction order [row, col, row-rev, col-rev]: k = 2*j + m with
             # m = stream, j = reversal, so W[k] regroups as (j, m, c, d).
-            row = xx.reshape(bsz, L, d_inner)
-            col = xx.transpose(0, 2, 1, 3).reshape(bsz, L, d_inner)
-            xs2 = jnp.stack([row, col], axis=1)          # (B, 2, L, dg)
-            # NOTE (measured, round 3): splitting x_dbl into separate dense
-            # projections with a combined (d, d) dt matrix REGRESSES the
-            # full step 202.8 -> 209.8 ms — the combined dt matmul is
-            # d_inner^2 FLOPs vs d_inner*dt_rank (16x more at stage3) and
-            # XLA fuses the x_dbl+split form well. Keep the x_dbl form.
-            Wg = x_proj_weight.astype(xs2.dtype).reshape(
-                2, 2, dt_rank + 2 * n, d_inner
-            )
-            x_dbl = jnp.einsum("bmld,jmcd->bjmlc", xs2, Wg).reshape(
-                bsz, 4, L, dt_rank + 2 * n
-            )
-            dts, Bs, Cs = jnp.split(x_dbl, [dt_rank, dt_rank + n], axis=3)
-            dts = jnp.einsum(
-                "bklr,kdr->bkld", dts, dt_projs_weight.astype(dts.dtype)
-            )
-            ys = ssp.selective_scan_pallas_bidir(
-                xs2, dts, A, Bs, Cs,
-                D=Ds.astype(jnp.float32),
-                delta_bias=dt_projs_bias.reshape(-1).astype(jnp.float32),
-                delta_softplus=True,
-                chunk=self.scan_chunk,
-                merge_pairs=True,
-            ).astype(jnp.float32)      # (B, 2, L, dg): [row+rowrev, col+colrev]
-            y = ys[:, 0].reshape(bsz, H, W, d_inner) + ys[:, 1].reshape(
-                bsz, W, H, d_inner
-            ).transpose(0, 2, 1, 3)
+            #
+            # Inference (no grad) additionally routes eligible shapes
+            # through the persistent-grid forward (ops/
+            # selective_scan_persistent.py — measured -21% at stage0). Its
+            # Mosaic alignment pads are emitted AT SOURCE here: the u-pad
+            # folds into the stream stack (already a copy), delta arrives
+            # padded natively via zero-padded dt_projs weight columns, and
+            # B/C pads ride the x_dbl split — in-line padding of finished
+            # operands was measured to eat the win (PROFILE.md Session 4).
+            per_cfg = None
+            if not self.is_initializing():
+                from mamba_unet_tpu.ops import (
+                    selective_scan_persistent as ssper,
+                )
+
+                if ssper.inference_active():
+                    per_cfg = ssper.config_for(bsz, L, d_inner, n)
+            if per_cfg is not None:
+                dgp = ssper.round_up(d_inner, 128)
+                npp = ssper.round_up(2 * n, 128)
+                pad_d = dgp - d_inner
+                # Streams and x_dbl are built EXACTLY like the slab path —
+                # measured hazard (docs/PROFILE.md Session 5): padding
+                # row/col before the stack let layout assignment propagate
+                # a {3,0,2,1} layout back into the depthwise conv, whose
+                # emitter then ran 9.1 ms instead of ~1 (fusion.49). The
+                # kernel's u-pad is applied AFTER the stack, behind an
+                # optimization_barrier, so the conv/stack fusions and
+                # layouts stay byte-identical to the slab path.
+                row = xx.reshape(bsz, L, d_inner)
+                col = xx.transpose(0, 2, 1, 3).reshape(bsz, L, d_inner)
+                xs2 = jnp.stack([row, col], axis=1)      # (B, 2, L, dg)
+                Wg = x_proj_weight.astype(xs2.dtype).reshape(
+                    2, 2, dt_rank + 2 * n, d_inner
+                )
+                x_dbl = jnp.einsum("bmld,jmcd->bjmlc", xs2, Wg).reshape(
+                    bsz, 4, L, dt_rank + 2 * n
+                )
+                xs2 = jnp.pad(
+                    jax.lax.optimization_barrier(xs2),
+                    ((0, 0), (0, 0), (0, 0), (0, pad_d)),
+                )                                        # (B, 2, L, dgp)
+                dts = x_dbl[..., :dt_rank]
+                # B|C packed contiguously as x_dbl already lays them out:
+                # one (B, 4, L, 2n->128) array, one pad pass, one DMA
+                # stream into the kernel (which slices [:n] / [n:2n] in
+                # VMEM) — instead of two full 128-lane padded arrays.
+                bc = jnp.pad(
+                    x_dbl[..., dt_rank:],
+                    ((0, 0), (0, 0), (0, 0), (0, npp - 2 * n)),
+                )
+                dtw = jnp.pad(
+                    dt_projs_weight.astype(dts.dtype),
+                    ((0, 0), (0, pad_d), (0, 0)),
+                )
+                dts = jnp.einsum("bklr,kdr->bkld", dts, dtw)  # (B,4,L,dgp)
+                A_t, Dsk, db = ssp._prep_params(
+                    A, Ds.astype(jnp.float32),
+                    dt_projs_bias.reshape(-1).astype(jnp.float32),
+                    4, d_inner, n,
+                )
+                g_pad = ((0, 0), (0, 0), (0, pad_d))
+                ys = ssper.persistent_scan_bidir(
+                    xs2, dts,
+                    jnp.pad(A_t, g_pad), bc,
+                    jnp.pad(Dsk, g_pad), jnp.pad(db, g_pad),
+                    n_real=n, softplus=True, **per_cfg,
+                ).astype(jnp.float32)  # (B, 2, L, dgp) pair-summed
+                y = ys[:, 0, :, :d_inner].reshape(
+                    bsz, H, W, d_inner
+                ) + ys[:, 1, :, :d_inner].reshape(
+                    bsz, W, H, d_inner
+                ).transpose(0, 2, 1, 3)
+            else:
+                row = xx.reshape(bsz, L, d_inner)
+                col = xx.transpose(0, 2, 1, 3).reshape(bsz, L, d_inner)
+                xs2 = jnp.stack([row, col], axis=1)      # (B, 2, L, dg)
+                # NOTE (measured, round 3): splitting x_dbl into separate
+                # dense projections with a combined (d, d) dt matrix
+                # REGRESSES the full step 202.8 -> 209.8 ms — the combined
+                # dt matmul is d_inner^2 FLOPs vs d_inner*dt_rank (16x more
+                # at stage3) and XLA fuses the x_dbl+split form well.
+                Wg = x_proj_weight.astype(xs2.dtype).reshape(
+                    2, 2, dt_rank + 2 * n, d_inner
+                )
+                x_dbl = jnp.einsum("bmld,jmcd->bjmlc", xs2, Wg).reshape(
+                    bsz, 4, L, dt_rank + 2 * n
+                )
+                dts, Bs, Cs = jnp.split(
+                    x_dbl, [dt_rank, dt_rank + n], axis=3
+                )
+                dts = jnp.einsum(
+                    "bklr,kdr->bkld", dts, dt_projs_weight.astype(dts.dtype)
+                )
+                ys = ssp.selective_scan_pallas_bidir(
+                    xs2, dts, A, Bs, Cs,
+                    D=Ds.astype(jnp.float32),
+                    delta_bias=dt_projs_bias.reshape(-1).astype(jnp.float32),
+                    delta_softplus=True,
+                    chunk=self.scan_chunk,
+                    merge_pairs=True,
+                ).astype(jnp.float32)  # (B, 2, L, dg): [row+rr, col+cr]
+                y = ys[:, 0].reshape(bsz, H, W, d_inner) + ys[:, 1].reshape(
+                    bsz, W, H, d_inner
+                ).transpose(0, 2, 1, 3)
         elif use_tm:
             # time-major fast path: channels-last maps feed the Pallas kernel
             # without any (B, 4D, L) transposes

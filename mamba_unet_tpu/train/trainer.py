@@ -204,10 +204,15 @@ class Trainer:
 
             @jax.jit
             def fwd(params, batch_stats, x):
+                from mamba_unet_tpu.ops.selective_scan_persistent import (
+                    inference_scan,
+                )
+
                 v = {"params": params}
                 if batch_stats:
                     v["batch_stats"] = batch_stats
-                out = self.model.apply(v, x)
+                with inference_scan():  # no-grad eval: persistent scan fwd
+                    out = self.model.apply(v, x)
                 return out[0] if isinstance(out, (tuple, list)) else out
 
             self._predict = fwd

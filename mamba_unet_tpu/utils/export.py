@@ -42,7 +42,12 @@ def make_predict_fn(model, variables):
     ``cli.test`` inference protocol."""
 
     def fwd(x):
-        out = model.apply(variables, x)
+        from mamba_unet_tpu.ops.selective_scan_persistent import (
+            inference_scan,
+        )
+
+        with inference_scan():  # trace-time: persistent fwd where eligible
+            out = model.apply(variables, x)
         return out[0] if isinstance(out, (tuple, list)) else out
 
     return fwd

@@ -97,7 +97,7 @@ def test_preprocess_scribble_tree(tmp_path, rng):
     write_nifti(str(raw / "patient001_frame01_gt.nii.gz"), lab)
     write_nifti(str(raw / "patient001_frame01_scribble.nii.gz"), scr)
     out = str(tmp_path / "out")
-    convert_acdc(str(tmp_path / "raw"), out)
+    convert_acdc(str(tmp_path / "raw"), out, splits="all")
 
     with open(os.path.join(out, "all_cases.list")) as f:
         assert f.read().split() == ["patient001_frame01"]
