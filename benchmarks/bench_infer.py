@@ -41,6 +41,8 @@ def main():
     p.add_argument("--batch", type=int, default=24)
     p.add_argument("--patch", type=int, default=224)
     p.add_argument("--checkpoint", type=str, default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 compute serving (fp32 params/ABI)")
     args = p.parse_args()
 
     from mamba_unet_tpu.utils import load_model_snapshot
@@ -52,7 +54,8 @@ def main():
     )
 
     model, variables = load_model_snapshot(
-        args.model, 4, (args.patch, args.patch), 1, args.checkpoint)
+        args.model, 4, (args.patch, args.patch), 1, args.checkpoint,
+        dtype=jnp.bfloat16 if args.bf16 else None)
     x = jnp.asarray(
         np.random.default_rng(0).normal(
             size=(args.batch, args.patch, args.patch, 1)), jnp.float32)

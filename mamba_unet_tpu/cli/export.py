@@ -41,6 +41,10 @@ def build_parser():
                    help="lowering targets, e.g. --platforms tpu cpu "
                         "(default: current backend). Pallas scan paths are "
                         "TPU-only; use a CPU-servable scan_impl for cpu")
+    p.add_argument("--bf16", action="store_true",
+                   help="serve in bfloat16 compute (params stay fp32; "
+                        "input/output ABI stays fp32) — faster on TPU at "
+                        "bf16-level output tolerance")
     return p
 
 
@@ -63,9 +67,12 @@ def main(argv=None) -> int:
 
     if not args.checkpoint:
         logging.warning("no --checkpoint: exporting the seed-0 init")
+    import jax.numpy as jnp
+
     model, variables = load_model_snapshot(
         args.model, args.num_classes, args.patch_size, args.in_channels,
         args.checkpoint, args.ckpt_name,
+        dtype=jnp.bfloat16 if args.bf16 else None,
     )
     batch = int(args.batch) if args.batch.isdigit() else args.batch
     exported = export_predict(

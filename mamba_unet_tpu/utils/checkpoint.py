@@ -74,6 +74,7 @@ def load_model_snapshot(
     in_channels: int,
     directory: Optional[str],
     ckpt_name: Optional[str] = None,
+    dtype=None,
 ):
     """Build a net via ``net_factory`` and restore inference variables from
     an orbax snapshot dir (the shared load of ``cli.test`` / ``cli.export``).
@@ -82,6 +83,8 @@ def load_model_snapshot(
     trainers save ``best``/``best2``/``best3``); default tries ``best`` and
     falls back to the latest periodic ``state``. ``directory=None`` returns
     the seed-0 initialization (useful for structure-only consumers).
+    ``dtype`` sets the net's COMPUTE dtype (e.g. ``jnp.bfloat16`` for
+    bf16 serving — params stay fp32, checkpoints restore unchanged).
     Returns ``(model, variables)`` with ``variables`` holding ``params``
     (+ ``batch_stats`` when the net has any).
     """
@@ -89,7 +92,8 @@ def load_model_snapshot(
 
     from mamba_unet_tpu.models import net_factory  # lazy: avoid cycle
 
-    model = net_factory(name, num_classes=num_classes)
+    kw = {"dtype": dtype} if dtype is not None else {}
+    model = net_factory(name, num_classes=num_classes, **kw)
     sample = jnp.zeros((1, *patch_size, in_channels), jnp.float32)
     variables = jax.jit(model.init)(jax.random.key(0), sample)
     if directory:

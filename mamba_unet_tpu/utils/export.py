@@ -42,13 +42,18 @@ def make_predict_fn(model, variables):
     ``cli.test`` inference protocol."""
 
     def fwd(x):
+        import jax.numpy as _jnp
+
         from mamba_unet_tpu.ops.selective_scan_persistent import (
             inference_scan,
         )
 
         with inference_scan():  # trace-time: persistent fwd where eligible
             out = model.apply(variables, x)
-        return out[0] if isinstance(out, (tuple, list)) else out
+        out = out[0] if isinstance(out, (tuple, list)) else out
+        # fp32 output ABI regardless of the net's compute dtype (bf16
+        # serving keeps callers' post-processing unchanged)
+        return out.astype(_jnp.float32)
 
     return fwd
 

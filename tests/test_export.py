@@ -114,3 +114,23 @@ def test_export_cli_smoke(tmp_path, rng):
     want = make_predict_fn(model, variables)(x)
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-6)
+
+
+def test_export_cli_bf16_smoke(tmp_path, rng):
+    """--bf16 serving export: artifact computes in bfloat16 (params fp32)
+    but keeps the fp32 output ABI, and tracks the fp32 forward at
+    bf16-level tolerance."""
+    from mamba_unet_tpu.cli.export import main
+    from mamba_unet_tpu.utils import load_model_snapshot
+
+    out = os.path.join(tmp_path, "unet_bf16.jaxexport")
+    assert main(["--model", "unet", "--num_classes", "4",
+                 "--patch_size", "16", "16", "--bf16", "--out", out]) == 0
+    loaded = load_exported(out)
+    model, variables = load_model_snapshot("unet", 4, (16, 16), 1, None)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 1)), jnp.float32)
+    got = jax.jit(loaded.call)(x)
+    assert got.dtype == jnp.float32  # fp32 ABI regardless of compute dtype
+    want = make_predict_fn(model, variables)(x)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=5e-2, atol=5e-2)
