@@ -228,6 +228,35 @@ def main() -> None:
             except Exception as e:  # pragma: no cover
                 extra[f"{key}_error"] = repr(e)[:120]
 
+    # round-5 serving fast path (persistent scan + bf16 compute): the
+    # inference headline, measured through the same predict closure the
+    # export/serving stack uses. Never let it break the primary metric.
+    if "--no_serving" not in sys.argv:
+        try:
+            import time as _time
+
+            from mamba_unet_tpu.utils import load_model_snapshot
+            from mamba_unet_tpu.utils.export import make_predict_fn
+
+            s_model, s_vars = load_model_snapshot(
+                "ViM_seg", 4, (patch, patch), 1, None, dtype=jnp.bfloat16)
+            fwd = jax.jit(make_predict_fn(s_model, s_vars))
+            sx = jnp.asarray(
+                rng.normal(size=(batch_size, patch, patch, 1)), jnp.float32)
+            _ = float(jnp.sum(fwd(sx)))
+            rates = []
+            for _w in range(3):
+                t0 = _time.perf_counter()
+                for _i in range(20):
+                    out = fwd(sx)
+                _ = float(jnp.sum(out))
+                rates.append(20 * batch_size / (_time.perf_counter() - t0))
+            srv, srv_spread = _median_spread(rates)
+            extra["serving_bf16_slices_per_sec"] = round(srv, 2)
+            extra["serving_bf16_spread_pct"] = round(srv_spread, 1)
+        except Exception as e:  # pragma: no cover
+            extra["serving_error"] = repr(e)[:120]
+
     print(
         json.dumps(
             {
